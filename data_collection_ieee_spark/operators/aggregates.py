@@ -1,0 +1,208 @@
+"""Aggregation operators (SURVEY.md §2B "Aggregations").
+
+All pure DataFrame API: Catalyst plans these as partial (map-side) +
+final hash aggregates with whole-stage codegen, which is exactly the
+100 TB-scale shape — one shuffle on the grouping key, combine before it.
+Money sums use exact decimal arithmetic (see functions/exact.py) so the
+DuckDB oracle hash matches bit-for-bit.
+
+Reference lineage: the reference has NO aggregation (its analytics stop
+at record extraction — see reference main.py:187-199 where the only
+"processing" is list→DataFrame→CSV). This module supplies the
+bibliometric-style aggregation surface its schema implies
+(publications per venue/author/year ⇒ groupBy + count/sum here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_collection_ieee_spark.catalog import load_table
+from data_collection_ieee_spark.functions.exact import (
+    RATE,
+    davg,
+    dec,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from data_collection_ieee_spark.registry import query
+
+# TPC-H Q1-style pricing summary: the flagship query (SURVEY.md §7 M0).
+# Scan → filter (pushed to parquet) → partial agg → shuffle on the
+# 2-value grouping key → final agg. At 100 TB the map-side combine
+# reduces the shuffle to |groups| × |partitions| rows — negligible.
+_Q1_CUTOFF = "1998-09-02 00:00:00"
+
+
+@query(
+    "agg_hash_group",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  {sql_dsum('CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))', 'DECIMAL(20,4)')} AS sum_disc_price,
+  {sql_davg('l_quantity')} AS avg_qty,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  {sql_davg('l_discount', 'DECIMAL(4,2)')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (
+        F.lit(1).cast(RATE) - dec("l_discount", RATE)
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(20,4)")).cast("double").alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", RATE).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# Approximate HLL distinct: intentionally NO oracle entry — the driver
+# applies its rows-only check. The exactness contract is covered by the
+# tolerance test in tests/test_aggregates.py (within 5% of exact).
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+SELECT event_type,
+       CAST(ts AS DATE) AS day,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return ev.rollup("event_type", "day").agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+SELECT o_orderstatus,
+       o_orderpriority,
+       COUNT(*) AS n,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    return od.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+SELECT o_orderstatus,
+       o_orderpriority,
+       COUNT(*) AS n,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    od.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus,
+               o_orderpriority,
+               COUNT(*) AS n,
+               {sql_dsum('o_totalprice')} AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("spend"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+# collect_set analogue of the reference's per-journal author lists
+# (chercheurs "; "-joined strings, reference main.py:101): per region,
+# the sorted distinct nation names as one deterministic string.
+@query(
+    "agg_collect",
+    oracle="""
+SELECT n_regionkey,
+       array_to_string(list_sort(list(DISTINCT n_name)), '; ') AS nations,
+       COUNT(*) AS n
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na = load_table(spark, sf_dir, "nation")
+    return na.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_set("n_name")), "; ").alias("nations"),
+        F.count("*").alias("n"),
+    )

@@ -1,0 +1,109 @@
+"""Scan / source / sink operators (SURVEY.md §2B "Scans / sources / sinks").
+
+Mirrors the reference's I/O boundary — pandas ``to_csv`` (reference
+main.py:194) and pretty-JSON dump (main.py:197-198) — as Spark
+distributed sinks, plus the cross-source schema-drift union implied by
+its 11-col IEEE vs 9-col ACM record layouts (main.py:94-107 vs
+mainn.py:67-83).
+
+Scale notes: the parquet scan is the Tungsten vectorized reader with
+column pruning (ReadSchema carries only projected columns); the CSV/JSON
+round-trips write one file per partition — at 100 TB these sinks
+parallelize for free, no driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_collection_ieee_spark.catalog import load_table
+from data_collection_ieee_spark.registry import query
+
+_ROUNDTRIP_COLS = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"]
+_ROUNDTRIP_SCHEMA = (
+    "l_orderkey bigint, l_linenumber int, l_quantity double, "
+    "l_extendedprice double, l_returnflag string"
+)
+
+
+def _scratch(tag: str) -> str:
+    base = os.path.join(tempfile.gettempdir(), "dcis_scratch")
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, tag)
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem
+""",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-preserving projection; .explain shows ReadSchema limited to
+    # these 5 columns (column pruning reaches the parquet footer).
+    return load_table(spark, sf_dir, "lineitem").select(*_ROUNDTRIP_COLS)
+
+
+@query(
+    "scan_csv_roundtrip",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem
+""",
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 CSV sink semantics: header row, UTF-8, quoted as needed —
+    written distributed, read back with an explicit schema (no
+    inference pass over the data)."""
+    path = _scratch("csv_roundtrip")
+    df = load_table(spark, sf_dir, "lineitem").select(*_ROUNDTRIP_COLS)
+    df.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(_ROUNDTRIP_SCHEMA).option("header", True).csv(path)
+
+
+@query(
+    "scan_json_roundtrip",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem
+""",
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 JSON sink semantics (non-ASCII preserved; JSON-lines layout —
+    the distributed-scale form of the reference's array dump)."""
+    path = _scratch("json_roundtrip")
+    df = load_table(spark, sf_dir, "lineitem").select(*_ROUNDTRIP_COLS)
+    df.write.mode("overwrite").json(path)
+    return spark.read.schema(_ROUNDTRIP_SCHEMA).json(path)
+
+
+@query(
+    "union_schema_drift",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(NULL AS VARCHAR) AS o_orderstatus,
+       CAST(NULL AS VARCHAR) AS o_orderpriority
+FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       o_orderstatus, o_orderpriority
+FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: the 11-col IEEE / 9-col ACM drift union, re-created on
+    `orders` — two overlapping projections reunified by name with null
+    fill for the missing columns."""
+    od = load_table(spark, sf_dir, "orders")
+    wide = od.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    narrow = od.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    return wide.unionByName(narrow, allowMissingColumns=True)
