@@ -1,1 +1,234 @@
-"""Placeholder — populated in a later milestone."""
+"""Join operators (SURVEY.md §2B "Joins").
+
+The reference never joins (its two stub enrichments that *would* be
+joins — affiliation→country and journal→quartile, reference
+main.py:173-185 — always return ""). This module supplies the full join
+surface with explicit scale strategy per shape:
+
+- dimension joins broadcast (no shuffle of the big side);
+- fact-fact joins shuffle on the join key and let AQE pick
+  sort-merge vs shuffled-hash and split skewed partitions;
+- the theta/range join is bucketized first so it is executed as an
+  equi-join on (key, time_bucket) — the O(n²)-per-key naive form would
+  not survive 100 TB;
+- the as-of join is the sort-based union trick (one shuffle, no join
+  blowup), not a windowed self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_collection_ieee_spark.catalog import load_table
+from data_collection_ieee_spark.registry import query
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+SELECT n_nationkey, n_name, r_name AS region_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dim equi-join. `broadcast()` pins the hash side so the fact
+    side never shuffles — the only sane plan when the dim is O(KB) and
+    the fact is O(TB)."""
+    na, re = load_table(spark, sf_dir, "nation"), load_table(spark, sf_dir, "region")
+    return na.join(
+        F.broadcast(re), na.n_regionkey == re.r_regionkey, "inner"
+    ).select("n_nationkey", "n_name", F.col("r_name").alias("region_name"))
+
+
+@query(
+    "join_shuffle",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice, o_custkey, o_orderstatus
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 200000
+""",
+)
+def join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large equi-join: both sides shuffle on the key; AQE picks the
+    physical strategy and handles skew. The o_totalprice predicate is
+    pushed below the join into the orders scan by Catalyst."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return li.join(od, li.l_orderkey == od.o_orderkey, "inner").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "o_custkey", "o_orderstatus"
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_outer",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer c LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+""",
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with a join-side predicate (kept in the ON clause, so
+    unmatched customers survive with null fill)."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    cond = (cu.c_custkey == od.o_custkey) & (od.o_totalprice > 400000)
+    return cu.join(od, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+SELECT a.r_name AS from_region, b.r_name AS to_region
+FROM region a CROSS JOIN region b
+WHERE a.r_regionkey <> b.r_regionkey
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    re = load_table(spark, sf_dir, "region")
+    a = re.select(F.col("r_name").alias("from_region"), F.col("r_regionkey").alias("ka"))
+    b = re.select(F.col("r_name").alias("to_region"), F.col("r_regionkey").alias("kb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("ka") != F.col("kb"))
+        .select("from_region", "to_region")
+    )
+
+
+# 5-minute pairing window for the theta/range join, in seconds.
+_RANGE_S = 300
+
+
+@query(
+    "join_theta_range",
+    oracle=f"""
+SELECT e1.event_id AS id1, e2.event_id AS id2, e1.user_id
+FROM events e1
+JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts >= e1.ts
+ AND epoch_us(CAST(e2.ts AS TIMESTAMP)) - epoch_us(CAST(e1.ts AS TIMESTAMP)) <= {_RANGE_S} * 1000000
+ AND e1.event_id <> e2.event_id
+""",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (same-user event pairs within 5 minutes), bucketized:
+    each left row fans out to its bucket and the next, the join runs as
+    a pure equi-join on (user_id, bucket), and the exact range predicate
+    filters after. This keeps the 100 TB plan a hash join — the naive
+    `ON u1=u2 AND ts BETWEEN …` degrades to a per-key nested loop."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    bucket = (F.col("us") / (1_000_000 * _RANGE_S)).cast("long")
+    left = ev.withColumn(
+        "bucket", F.explode(F.array(bucket, bucket + 1))
+    ).withColumnRenamed("event_id", "id1").withColumnRenamed("us", "us1")
+    right = (
+        ev.withColumn("bucket", bucket)
+        .withColumnRenamed("event_id", "id2")
+        .withColumnRenamed("us", "us2")
+    )
+    joined = left.join(right, ["user_id", "bucket"], "inner").filter(
+        (F.col("us2") >= F.col("us1"))
+        & (F.col("us2") - F.col("us1") <= _RANGE_S * 1_000_000)
+        & (F.col("id1") != F.col("id2"))
+    )
+    return joined.select("id1", "id2", "user_id")
+
+
+@query(
+    "join_asof",
+    oracle="""
+WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+     j AS (
+       SELECT p.event_id AS purchase_id,
+              CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+              c.event_id AS click_id,
+              CAST(c.ts AS TIMESTAMP) AS click_ts,
+              ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                 ORDER BY c.ts DESC, c.event_id DESC) AS rn
+       FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+     )
+SELECT purchase_id, purchase_ts, click_id, click_ts FROM j WHERE rn = 1
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest click at-or-before
+    it for the same user. Implemented as the sort-based union trick —
+    union both streams, one window per user carries the last-seen click
+    forward — i.e. ONE shuffle on user_id and a linear scan, instead of
+    a per-key join blowup. This is the scalable distributed as-of plan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id_src"),
+        F.lit(0).alias("kind"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("click_id_src"), F.lit(1).alias("kind")
+    )
+    unioned = clicks.unionByName(purchases)
+    # Order: ts, then clicks before purchases at the same ts (inclusive
+    # at-or-before), then event_id so same-ts clicks resolve to the
+    # highest id — matching the oracle's ORDER BY ts DESC, id DESC pick.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "click_id_src")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "click_id",
+        F.last(F.when(F.col("kind") == 0, F.col("click_id_src")), ignorenulls=True).over(w),
+    ).withColumn(
+        "click_ts",
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.filter((F.col("kind") == 1) & F.col("click_id").isNotNull())
+        .select(
+            F.col("click_id_src").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "click_id",
+            "click_ts",
+        )
+    )

@@ -1,1 +1,133 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming-shaped operators, checked in batch (SURVEY.md §2B).
+
+The reference's per-page micro-batches (reference main.py:64,
+mainn.py:57) generalize to time-windowed processing over the `events`
+stream table. These three run as batch queries against the DuckDB
+oracle; their Structured Streaming parity (same results via readStream
++ availableNow, plus watermark/late-data behavior) is exercised by
+data_collection_ieee_spark/streaming/parity.py and
+tests/test_streaming.py, which the oracle can't cover.
+
+Scale: tumbling/sliding windows are plain hash aggregates on the
+derived window key (map-side combined); sessionization is one shuffle
+on user_id + a linear per-partition scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_collection_ieee_spark.catalog import load_table
+from data_collection_ieee_spark.functions.exact import dsum, sql_dsum
+from data_collection_ieee_spark.registry import query
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "stream_tumbling",
+    oracle=f"""
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wstart,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling window counts — `window()` in batch compiles to a
+    plain groupBy on the window struct (epoch-aligned, same alignment
+    as date_trunc)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "total_value")
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+WITH e AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec, value FROM events
+),
+expanded AS (
+  SELECT (sec // 900) * 900 - 900 * t.j AS wstart_s, value
+  FROM e, range(4) t(j)
+  WHERE sec < (sec // 900) * 900 - 900 * t.j + 3600
+)
+SELECT make_timestamp(wstart_s * 1000000) AS wstart,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM expanded
+GROUP BY wstart_s
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes: each event lands in 4
+    overlapping windows. The oracle reproduces Spark's epoch-aligned
+    window set by fanning each event out to its 4 window starts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("wstart"), "n", "total_value")
+    )
+
+
+@query(
+    "stream_session",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_id, value,
+         CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))
+                   > {SESSION_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_id, value, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+           AS session_seq
+  FROM ordered
+)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization, 30-minute inactivity gap, batch form: lag-gap →
+    new-session flag → running sum = session id → per-session agg.
+    (Streaming parity uses `session_window` — see streaming/parity.py.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )

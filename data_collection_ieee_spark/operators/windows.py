@@ -1,1 +1,166 @@
-"""Placeholder — populated in a later milestone."""
+"""Window function operators (SURVEY.md §2B "Window functions").
+
+Per-group top-k generalizes the reference's pagination cap (A10,
+reference main.py:64) and `win_ntile_dense` realizes its stubbed
+quartile enrichment (main.py:182-185) as a real NTILE.
+
+Determinism: every ORDER BY ends in a unique key (row_number/ntile are
+order-sensitive); running sums go through decimal so the window
+aggregate is exact; range frames need no tiebreak (peers are included
+by value).
+
+Scale: all windows partition by a key (one shuffle on the partition
+key, then a sorted scan per partition) — no global single-partition
+window in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_collection_ieee_spark.catalog import load_table
+from data_collection_ieee_spark.functions.exact import dec
+from data_collection_ieee_spark.registry import query
+
+
+@query(
+    "win_rank_topk",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM ranked WHERE rn <= 3
+""",
+)
+def win_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the per-group limit pattern. At scale
+    this is ONE shuffle on the partition key; Spark inserts a
+    WindowGroupLimit to drop rows past k before the sort completes."""
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        od.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+SELECT event_id, user_id,
+       epoch_us(CAST(ts AS TIMESTAMP))
+         - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend
+FROM orders
+""",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+WITH d AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS day_no,
+         o_totalprice
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, day_no,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+              OVER (PARTITION BY o_custkey ORDER BY day_no
+                    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day_no
+                          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+         AS avg_30d
+FROM d
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day moving average per customer via a RANGE frame on day
+    number (value-based: same-day peers always share a frame, so no
+    tiebreaker is needed)."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_no"),
+        "o_totalprice",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-30, 0)
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_no",
+        (F.sum(dec("o_totalprice")).over(w).cast("double") / F.count("*").over(w)).alias(
+            "avg_30d"
+        ),
+    )
+
+
+@query(
+    "win_ntile_dense",
+    oracle="""
+SELECT c_custkey, c_acctbal,
+       CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS balance_quartile,
+       CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) AS INT) AS segment_rank
+FROM customer
+""",
+)
+def win_ntile_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `_get_quartile` stub (main.py:182-185) made real:
+    NTILE(4) quartile assignment plus a DENSE_RANK enumeration."""
+    cu = load_table(spark, sf_dir, "customer")
+    return cu.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc()))
+        .alias("balance_quartile"),
+        F.dense_rank().over(Window.orderBy("c_mktsegment")).alias("segment_rank"),
+    )

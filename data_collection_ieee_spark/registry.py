@@ -52,6 +52,7 @@ def load_all() -> None:
         dedup,
         joins,
         multimodal,
+        scalar_funcs,
         scans,
         selections,
         similarity,
