@@ -1,1 +1,160 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal-column operators (north-star surface).
+
+Model: media payloads are opaque `binary` columns with typed scalar
+metadata beside them — the only schema that survives 100 TB (never
+parse media into rows; keep bytes opaque, project metadata, and run
+decode/feature kernels as Arrow-batched pandas functions).
+
+The test corpus has no real media, so the payload is the UTF-8 encoding
+of `documents.text` — which makes every piece of *plumbing* (binary
+schema through parquet/Arrow, batched kernels, frame explosion,
+vector+scalar mixed projection) real and oracle-checkable, while the
+image/audio codec itself is a clearly-marked deterministic stub
+(`_fake_decode`; a real deployment swaps in PIL/ffmpeg there — those
+libs are intentionally not imported).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_collection_ieee_spark.catalog import load_table
+from data_collection_ieee_spark.registry import query
+
+
+@query(
+    "multimodal_join",
+    oracle="""
+SELECT d.doc_id, d.lang, d.n_chars, e.label,
+       CAST(len(e.embedding) AS INT) AS dim,
+       round(CAST(e.embedding[1] AS DOUBLE), 4) AS emb_head
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ⋈ embeddings with a mixed scalar/vector projection —
+    the array column rides through the shuffle untouched (columnar
+    Arrow both sides; no serialization cliff)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return docs.join(emb, docs.doc_id == emb.vec_id, "inner").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("emb_head"),
+    )
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+""",
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-payload metadata projection: byte length + content digest
+    computed on the binary column, never decoding it."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )
+
+
+_FRAME_BYTES = 32
+_FRAME_STRIDE = 2  # sample every 2nd frame
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH lists AS (
+  SELECT doc_id,
+         [substr(text, 1 + j * {_FRAME_BYTES}, {_FRAME_BYTES})
+          for j in range(0, (length(text) + {_FRAME_BYTES} - 1) // {_FRAME_BYTES})] AS frames
+  FROM documents
+),
+exploded AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(frames, 1) - 1 AS INT) AS frame_no,
+         unnest(frames) AS frame
+  FROM lists
+)
+SELECT doc_id, frame_no, md5(frame) AS frame_md5
+FROM exploded
+WHERE frame_no % {_FRAME_STRIDE} = 0
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque payload (the video-keyframe
+    pattern): fixed-size windows → explode → stride filter → per-frame
+    digest. Output cardinality is frames/stride; the explode is a
+    narrow transform, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_frames = F.ceil(F.length("text") / F.lit(_FRAME_BYTES)).cast("int")
+    frames = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no"),
+        F.col("text"),
+    ).filter(F.col("frame_no") % _FRAME_STRIDE == 0)
+    frame = F.expr(f"substring(text, 1 + frame_no * {_FRAME_BYTES}, {_FRAME_BYTES})")
+    return frames.select(
+        "doc_id", "frame_no", F.md5(frame.cast("binary")).alias("frame_md5")
+    )
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for an image/audio codec (STUB).
+
+    A real deployment replaces this with PIL / torchaudio / ffmpeg;
+    those libraries are not in this environment on purpose. The fake
+    derives stable pseudo-features from the raw bytes so the Spark-side
+    plumbing (binary in, fixed-width feature struct out, Arrow batches)
+    is fully exercised and testable.
+    """
+    n = len(payload)
+    if n == 0:
+        return {"n_bytes": 0, "byte_mean": 0.0, "byte_entropy": 0.0}
+    counts: dict[int, int] = {}
+    total = 0.0
+    for by in payload:
+        counts[by] = counts.get(by, 0) + 1
+        total += by
+    ent = -sum((c / n) * math.log2(c / n) for c in counts.values())
+    return {"n_bytes": n, "byte_mean": total / n, "byte_entropy": ent}
+
+
+@query("multimodal_decode_features")
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract pipeline over opaque payloads via
+    Arrow-batched mapInPandas (rows-only check; determinism asserted in
+    tests/test_multimodal.py). The batch shape, schema, and partitioning
+    are the real 100 TB design — only the codec inside `_fake_decode`
+    is a stub."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return with_payload.mapInPandas(
+        decode_batches,
+        schema="doc_id bigint, n_bytes bigint, byte_mean double, byte_entropy double",
+    )

@@ -1,1 +1,214 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over the embeddings table (north-star surface).
+
+- `sim_cosine_topk`     exact brute-force cosine top-k vs a probe vector
+                        (JVM higher-order functions — no Python in path)
+- `sim_pairwise_labels` intra- vs inter-label mean cosine (broadcast
+                        numpy block product, Arrow-batched)
+- `sim_ann_ivf`         IVF approximate nearest neighbor: deterministic
+                        coarse centroids → inverted lists → probe the
+                        nPROBE closest lists only (the 100 TB path;
+                        rows-only check + recall test in pytest)
+
+Cosine determinism: values are rounded to 4 decimals on both engines
+before any threshold/ordering decision, and ties in top-k ordering are
+broken by vec_id, so float summation order can never flip the result.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_collection_ieee_spark.catalog import load_table
+from data_collection_ieee_spark.registry import query
+
+PROBE_VEC_ID = 0
+TOP_K = 20
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+WITH probe AS (SELECT embedding FROM embeddings WHERE vec_id = {PROBE_VEC_ID}),
+scored AS (
+  SELECT e.vec_id, e.label,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(p.embedding AS DOUBLE[])), 4) AS cos_sim
+  FROM embeddings e, probe p
+  WHERE e.vec_id <> {PROBE_VEC_ID}
+)
+SELECT vec_id, label, cos_sim,
+       CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+FROM scored
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {TOP_K}
+""",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against one probe vector. The probe rides
+    as a 1-row broadcast (crossJoin), scoring is JVM-side zip_with /
+    aggregate, and the top-k is orderBy+limit → TakeOrderedAndProject
+    (per-partition heap, k rows to the driver). Exact baseline for the
+    ANN variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("probe_emb")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine(F.col("embedding"), F.col("probe_emb")), 4).alias("cos_sim"),
+        )
+    )
+    topk = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(TOP_K)
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+@query(
+    "sim_pairwise_labels",
+    oracle="""
+WITH pairs AS (
+  SELECT a.label = b.label AS same_label,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS c
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT same_label,
+       COUNT(*) AS n_pairs,
+       round(AVG(c), 6) AS avg_cos
+FROM pairs
+GROUP BY same_label
+""",
+)
+def sim_pairwise_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean intra-label vs inter-label cosine over all pairs, computed
+    as a broadcast numpy block product (one matmul per Arrow batch —
+    about n²/batch FLOPs in BLAS, no per-pair JVM object churn). The
+    average is rounded to 6 decimals; summation-order error for |cos|≤1
+    over these pair counts is ~1e-12, far inside the rounding bucket."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    pdf = emb.toPandas()  # broadcast index build (bench scale: ~1 MB)
+    ids = np.asarray(pdf["vec_id"].values, dtype=np.int64)
+    labels = np.asarray(pdf["label"].values, dtype=np.int64)
+    mat = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+    norms = np.linalg.norm(mat, axis=1)
+    sc = spark.sparkContext
+    b = sc.broadcast((ids, labels, mat, norms))
+
+    def block_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_labels, all_mat, all_norms = b.value
+        for pdf_in in batches:
+            q_ids = np.asarray(pdf_in["vec_id"].values, dtype=np.int64)
+            q_labels = np.asarray(pdf_in["label"].values, dtype=np.int64)
+            q = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf_in["embedding"]])
+            qn = np.linalg.norm(q, axis=1)
+            cos = (q @ all_mat.T) / np.outer(qn, all_norms)
+            mask = q_ids[:, None] < all_ids[None, :]
+            same = q_labels[:, None] == all_labels[None, :]
+            out = []
+            for flag in (True, False):
+                m = mask & (same == flag)
+                out.append((flag, int(m.sum()), float(cos[m].sum())))
+            yield pd.DataFrame(out, columns=["same_label", "n_pairs", "sum_cos"])
+
+    partials = emb.mapInPandas(
+        block_stats, schema="same_label boolean, n_pairs bigint, sum_cos double"
+    )
+    return partials.groupBy("same_label").agg(
+        F.sum("n_pairs").alias("n_pairs"),
+        F.round(F.sum("sum_cos") / F.sum("n_pairs"), 6).alias("avg_cos"),
+    )
+
+
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+@query("sim_ann_ivf")
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only check; recall vs the exact
+    baseline is asserted in tests/test_similarity.py).
+
+    Index: coarse centroids = mean of vectors per (vec_id % 16) bucket
+    — deterministic, no RNG — then each vector is assigned to its
+    nearest centroid (inverted lists). Search: score the probe against
+    centroids, scan only the N_PROBE closest lists. At 100 TB the
+    inverted lists are the partition keys: a query touches N_PROBE
+    partitions instead of the full corpus, and the centroid table is a
+    broadcast. Here the same plan runs with DataFrame ops end to end.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # --- build: deterministic coarse centroids (JVM-side mean per bucket)
+    dim_idx = list(range(64))
+    bucketed = emb.withColumn("bucket", (F.col("vec_id") % N_CENTROIDS).cast("int"))
+    cent = bucketed.groupBy("bucket").agg(
+        F.array(
+            *[F.avg(F.element_at("embedding", i + 1)).alias(f"c{i}") for i in dim_idx]
+        ).alias("centroid")
+    )
+
+    # --- assign: nearest centroid per vector (broadcast join, argmin)
+    assigned = (
+        bucketed.crossJoin(F.broadcast(cent.select(F.col("bucket").alias("cb"), "centroid")))
+        .withColumn("dist", -_cosine(F.col("embedding"), F.col("centroid")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("vec_id")
+                .orderBy(F.col("dist").asc(), F.col("cb").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", F.col("cb").alias("list_id"))
+    )
+
+    # --- search: probe vector → N_PROBE nearest lists → scan those only
+    probe = emb.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("probe_emb")
+    )
+    probe_lists = (
+        cent.crossJoin(F.broadcast(probe))
+        .withColumn("pdist", -_cosine(F.col("centroid"), F.col("probe_emb")))
+        .orderBy(F.col("pdist").asc(), F.col("bucket").asc())
+        .limit(N_PROBE)
+        .select(F.col("bucket").alias("list_id"))
+    )
+    candidates = assigned.join(F.broadcast(probe_lists), "list_id")
+    scored = (
+        candidates.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine(F.col("embedding"), F.col("probe_emb")), 4).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(TOP_K)

@@ -1,1 +1,258 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators over `documents` (north-star surface).
+
+The reference's only text assets are abstracts/titles/keyword strings
+(reference main.py:100-104); this module supplies the analysis layer a
+training-data pipeline needs: tf-idf, corpus stats, language ID,
+quality scoring, token counting, and content fingerprinting.
+
+Everything is built-in JVM expressions (split/explode/regexp/md5 — no
+Python), so each operator costs one or two map-side-combined shuffles
+at any scale. Float outputs are single-expression arithmetic (identical
+IEEE op order on both engines) plus rounding, so hashes can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_collection_ieee_spark.catalog import load_table
+from data_collection_ieee_spark.registry import query
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+_SQL_STOP = "', '".join(_STOPWORDS)
+
+
+@query(
+    "text_wordcount_tfidf",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+""",
+)
+def text_wordcount_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL tf-idf: explode → (doc,term) counts → document
+    frequencies → weight join. Two shuffles (doc+term, term) and a
+    broadcast of the 1-row corpus count — the classic scalable shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "text_lang_stats",
+    oracle="""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       quantile_cont(n_chars, 0.5) AS median_chars
+FROM documents
+GROUP BY lang, source
+""",
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.percentile("n_chars", 0.5).alias("median_chars"),
+    )
+
+
+# Tiny marker lexicons per language; the n-gram-heuristic shape of a
+# real language identifier, evaluable identically in both engines.
+_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "la", "los", "que"),
+    "fr": ("le", "la", "les", "et"),
+}
+
+
+def _sql_score(lang: str) -> str:
+    lst = "', '".join(_MARKERS[lang])
+    return f"len(list_intersect(string_split(text,' '), ['{lst}']))"
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_sql_score('en')} AS s_en,
+         {_sql_score('de')} AS s_de,
+         {_sql_score('es')} AS s_es,
+         {_sql_score('fr')} AS s_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE
+         WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         WHEN s_es >= s_fr THEN 'es'
+         ELSE 'fr'
+       END AS pred_lang,
+       lang AS actual_lang
+FROM scored
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID (the n-gram-heuristic pattern): score
+    each candidate language by marker-token overlap, pick the argmax
+    with a fixed tie-break order. Single narrow pass, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in ms])))
+        for lang, ms in _MARKERS.items()
+    }
+    scored = docs.select(
+        "doc_id", F.col("lang").alias("actual_lang"),
+        *[scores[lang].alias(f"s_{lang}") for lang in _MARKERS],
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    return scored.select("doc_id", pred.alias("pred_lang"), "actual_lang")
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(length(text) AS INT) AS n_chars_txt,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> list_contains(['{_SQL_STOP}'], t))) AS INT) AS n_stop,
+         CAST(length(replace(text, ' ', '')) AS INT) AS n_alpha
+  FROM documents
+)
+SELECT doc_id, n_chars_txt, n_tokens,
+       round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+       round(CAST(n_alpha AS DOUBLE) / n_chars_txt, 4) AS alpha_ratio,
+       round(CAST(n_alpha AS DOUBLE) / n_tokens, 4) AS avg_token_len
+FROM feats
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features (length / stopword / character ratios)
+    — the heuristic pre-filter stage of an LLM data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    feats = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_txt"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias("n_stop"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_alpha"),
+    )
+    return feats.select(
+        "doc_id",
+        "n_chars_txt",
+        "n_tokens",
+        F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 4).alias("stopword_ratio"),
+        F.round(F.col("n_alpha").cast("double") / F.col("n_chars_txt"), 4).alias("alpha_ratio"),
+        F.round(F.col("n_alpha").cast("double") / F.col("n_tokens"), 4).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS re_tokens,
+       CAST(length(text) AS INT) AS n_chars_txt
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenizer + BPE-ish regex tokenizer ([a-z]+|[0-9]+
+    runs), both as codegen'd expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), F.lit(0))).alias(
+            "re_tokens"
+        ),
+        F.length("text").alias("n_chars_txt"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS vocab_fp,
+         list_min([CAST('0x' || substr(md5(substr(text, i, 8)), 1, 15) AS BIGINT)
+                   for i in range(1, length(text) - 6)]) AS kgram_min_hash
+  FROM documents
+  WHERE length(text) >= 8
+)
+SELECT doc_id, vocab_fp, kgram_min_hash,
+       COUNT(*) OVER (PARTITION BY vocab_fp) AS vocab_group_size
+FROM fp
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two content fingerprints per document:
+    - `vocab_fp`: md5 of the sorted distinct token set (order/dup-
+      insensitive content signature — the exact-dedup key family);
+    - `kgram_min_hash`: min over all rolling 8-char-gram hashes
+      (winnowing-style; the md5-derived 60-bit hash is bit-identical
+      across engines).
+    Plus the vocab-fingerprint group size via one windowed count."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    vocab_fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ").cast("binary")
+    )
+    kgram = F.expr(
+        "array_min(transform(sequence(1, length(text) - 7), "
+        "i -> cast(conv(substring(md5(cast(substring(text, i, 8) as binary)), 1, 15), 16, 10) as bigint)))"
+    )
+    fp = docs.select(
+        "doc_id", vocab_fp.alias("vocab_fp"), kgram.alias("kgram_min_hash")
+    )
+    return fp.withColumn(
+        "vocab_group_size", F.count("*").over(Window.partitionBy("vocab_fp"))
+    )

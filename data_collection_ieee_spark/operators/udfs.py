@@ -1,1 +1,143 @@
-"""Placeholder — populated in a later milestone."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2B).
+
+Demonstrates all four Python-extension points with their cost model
+stated plainly:
+
+- `udf_scalar`  row-at-a-time Python UDF (the SLOW path — serde per
+                row; kept because the reference's `quote()` call,
+                main.py:46, is exactly this shape)
+- `udf_pandas`  vectorized pandas UDF (Arrow batches, ~10-100× the
+                row UDF)
+- `udaf_pandas` grouped-agg pandas UDF
+- `udtf_surface` Python UDTF (one row → N rows), the reference's
+                page→records expansion (mainn.py:62-83) as a table
+                function
+
+Everything else in this engine deliberately avoids Python in the hot
+path; this module exists to cover the extension surface itself.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import quote
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from data_collection_ieee_spark.catalog import load_table
+from data_collection_ieee_spark.operators.similarity import PROBE_VEC_ID
+from data_collection_ieee_spark.registry import query
+
+
+@query(
+    "udf_scalar",
+    oracle="""
+SELECT doc_id, replace(text, ' ', '%20') AS url_encoded
+FROM documents
+""",
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `quote(query)` URL-encoding (main.py:46) as a
+    Python UDF. (The oracle's replace() is equivalent on this corpus —
+    lowercase words + spaces — since quote() escapes only the space.)
+    """
+
+    @F.udf(StringType())
+    def url_encode(s: str) -> str:
+        return quote(s) if s is not None else None
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", url_encode("text").alias("url_encoded"))
+
+
+@query(
+    "udf_pandas",
+    oracle=f"""
+WITH probe AS (SELECT embedding FROM embeddings WHERE vec_id = {PROBE_VEC_ID})
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(p.embedding AS DOUBLE[])), 4) AS cos_sim
+FROM embeddings e, probe p
+""",
+)
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized cosine against the probe vector as a pandas UDF —
+    whole Arrow batches hit numpy at once (compare udf_scalar's per-row
+    serde). Same rounding contract as the similarity module."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_row = emb.filter(F.col("vec_id") == PROBE_VEC_ID).select("embedding").head()
+    probe = np.asarray(probe_row[0], dtype=np.float64)
+    probe_norm = float(np.linalg.norm(probe))
+
+    @F.pandas_udf("double")
+    def cos_to_probe(col: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        dots = mat @ probe
+        norms = np.linalg.norm(mat, axis=1)
+        return pd.Series(np.round(dots / (norms * probe_norm), 4))
+
+    return emb.select("vec_id", cos_to_probe("embedding").alias("cos_sim"))
+
+
+@query(
+    "udaf_pandas",
+    oracle="""
+SELECT event_type,
+       round(exp(AVG(ln(value))), 6) AS geo_mean_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF: geometric mean (exp∘mean∘log) — an
+    aggregate Spark has no built-in for. Rounded to 6: log-sum error
+    across engines is ~1e-12 on these magnitudes."""
+
+    @F.pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.round(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()), 6))
+
+    ev = load_table(spark, sf_dir, "events")
+    # Spark forbids mixing a grouped-agg pandas UDF with JVM aggregates
+    # in one agg(); run them as two aggregations joined on the tiny key.
+    geo = ev.groupBy("event_type").agg(geo_mean("value").alias("geo_mean_value"))
+    n = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return geo.join(n, "event_type")
+
+
+@query(
+    "udtf_surface",
+    oracle="""
+SELECT doc_id,
+       CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos,
+       unnest(string_split(text, ' ')) AS token
+FROM documents
+""",
+)
+def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (one row → N rows): the reference's page→records
+    expansion (mainn.py:62-83) as a LATERAL table function."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class SplitTokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    spark.udtf.register("split_tokens", SplitTokens)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_udtf_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.token
+        FROM documents_udtf_v d, LATERAL split_tokens(d.text) s
+        """
+    )
