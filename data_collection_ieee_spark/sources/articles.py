@@ -1,0 +1,139 @@
+"""Reference-semantics article ingestion: bronze → silver → merged.
+
+Reproduces the reference scrapers' data model exactly (SURVEY.md §1):
+
+- **bronze**: the literal record shapes the scrapers emit — IEEE 11
+  string columns (reference main.py:94-107), ACM 9 string columns
+  (mainn.py:67-83), with empty string `""` as the null sentinel
+  (`_safe_get_text` returns "" on any miss, main.py:165-171).
+- **silver**: typed normalization — `""`→NULL everywhere, trimmed
+  strings, `chercheurs` split on "; " into array<string> (main.py:101),
+  both DOI encodings (`"DOI: 10.1109/…"` IEEE / `"https://doi.org/…"`
+  ACM URL form) canonicalized to the bare DOI by one regexp, ACM
+  publication dates parsed.
+- **merged**: the cross-source schema-drift union (11-col ∪ 9-col via
+  unionByName(allowMissingColumns=True)) — one logical articles table.
+
+Sinks mirror A14/A15: header/UTF-8 CSV and JSON (JSON-lines — the
+distributed form of the reference's array dump, main.py:197-198).
+
+Scale: every step is a narrow projection; the union is metadata-only;
+sinks write one file per partition. Nothing here shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# 11-column IEEE bronze schema, all nullable strings (main.py:94-107).
+IEEE_COLUMNS = (
+    "journal",
+    "indexation",
+    "publication",
+    "doi",
+    "titre",
+    "chercheurs",
+    "laboratoires",
+    "abstract",
+    "keywords",
+    "pays",
+    "quartile",
+)
+# ACM bronze = first 9 of the IEEE columns (mainn.py:67-83).
+ACM_COLUMNS = IEEE_COLUMNS[:9]
+
+IEEE_BRONZE_SCHEMA = T.StructType(
+    [T.StructField(c, T.StringType(), True) for c in IEEE_COLUMNS]
+)
+ACM_BRONZE_SCHEMA = T.StructType(
+    [T.StructField(c, T.StringType(), True) for c in ACM_COLUMNS]
+)
+
+# One regexp canonicalizes both observed DOI encodings:
+#   IEEE: "DOI: 10.1109/Blockchain.2019.00068"
+#   ACM:  "https://doi.org/10.1145/3688225.3688241"
+DOI_PATTERN = r"(10\.\d{4,9}/[^\s]+)"
+
+
+def read_bronze_json(spark: SparkSession, path: str, source: str) -> DataFrame:
+    """Read a scraper JSON dump (array-of-objects, as the reference
+    writes with json.dump(..., indent=2) — hence multiLine) into the
+    bronze schema for `source` ('ieee' | 'acm')."""
+    schema = IEEE_BRONZE_SCHEMA if source == "ieee" else ACM_BRONZE_SCHEMA
+    return spark.read.schema(schema).option("multiLine", True).json(path)
+
+
+def read_bronze_csv(spark: SparkSession, path: str, source: str) -> DataFrame:
+    schema = IEEE_BRONZE_SCHEMA if source == "ieee" else ACM_BRONZE_SCHEMA
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)  # abstracts contain newlines
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def bronze_to_silver(bronze: DataFrame) -> DataFrame:
+    """The "" → NULL + typing rule (SURVEY.md §4 item 5).
+
+    Every string column is trimmed and ''-nullified; then:
+    - `doi_canonical`: bare DOI extracted from either encoding;
+    - `auteurs`: chercheurs split on '; ' into array<string>;
+    - `pub_date`: publication parsed as a date where it is one (the
+      ACM case, selector .issue-item__publication-date, mainn.py:70) —
+      NULL where it's free text like 'Publisher: IEEE'.
+    Missing columns (ACM's pays/quartile) are added as NULL so one
+    silver schema serves both sources.
+    """
+    df = bronze
+    for c in IEEE_COLUMNS:
+        if c in df.columns:
+            df = df.withColumn(c, F.nullif(F.trim(F.col(c)), F.lit("")))
+        else:
+            df = df.withColumn(c, F.lit(None).cast("string"))
+    doi_extracted = F.regexp_extract(F.col("doi"), DOI_PATTERN, 1)
+    return (
+        df.withColumn(
+            "doi_canonical", F.nullif(doi_extracted, F.lit(""))
+        )
+        .withColumn(
+            "auteurs",
+            F.when(
+                F.col("chercheurs").isNotNull(), F.split("chercheurs", "; ")
+            ).otherwise(F.lit(None).cast(T.ArrayType(T.StringType()))),
+        )
+        .withColumn(
+            # try_to_date-like: ACM dates come as e.g. "01 June 2024"
+            # or ISO; non-dates (IEEE 'Publisher: IEEE') → NULL.
+            "pub_date",
+            F.coalesce(
+                F.try_to_timestamp(F.col("publication"), F.lit("dd MMMM yyyy")),
+                F.try_to_timestamp(F.col("publication"), F.lit("yyyy-MM-dd")),
+            ).cast("date"),
+        )
+    )
+
+
+def merge_sources(ieee_silver: DataFrame, acm_silver: DataFrame) -> DataFrame:
+    """A12: one logical articles table across the 11/9-column drift."""
+    return ieee_silver.unionByName(acm_silver, allowMissingColumns=True)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """A14 sink semantics: header row, UTF-8, RFC-4180 quoting
+    (reference main.py:194 — pandas to_csv(index=False))."""
+    out = df
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.ArrayType):
+            out = out.withColumn(field.name, F.array_join(F.col(field.name), "; "))
+    out.write.mode("overwrite").option("header", True).option("encoding", "UTF-8").csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """A15 sink semantics: JSON with non-ASCII preserved (Spark writes
+    JSON-lines, unescaped unicode by default — the distributed
+    equivalent of ensure_ascii=False, main.py:197-198)."""
+    df.write.mode("overwrite").json(path)

@@ -1,0 +1,103 @@
+"""Structured Streaming parity layer (SURVEY.md §5.3).
+
+The batch `stream_*` operators (operators/streaming_shaped.py) are the
+oracle-checked surface; this module runs the SAME logic as real
+Structured Streaming jobs — readStream over the events parquet,
+availableNow trigger, memory sink — so watermarks, session windows, and
+within-watermark dedup (things no SQL oracle can observe) are exercised
+against batch-equivalent expectations in tests/test_streaming.py.
+
+At production scale the source swaps for Kafka/files-on-arrival and the
+sink for a transactional table; every transformation here is unchanged
+— that is the point of the DataFrame-first design.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_collection_ieee_spark.functions.exact import dsum
+
+# Raw parquet schema of the events table: ts arrives as long nanos
+# (TIMESTAMP(NANOS) parquet type, read via nanosAsLong — same trick as
+# catalog.load_table, but readStream needs the schema spelled out).
+_EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FileStreamSource requires a *directory* of files (that is the
+    files-on-arrival contract), so the single events.parquet is staged
+    into a scratch dir first — stand-in for the landing zone a real
+    deployment would already have."""
+    import shutil
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(), "dcis_stream_stage", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copy(f"{sf_dir}/events.parquet", dst)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).format("parquet").load(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_to_memory(df: DataFrame, all_updates: bool = False) -> DataFrame:
+    """Execute a streaming DataFrame to completion with the availableNow
+    trigger into a memory sink; return the materialized result."""
+    name = f"parity_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.outputMode("complete" if all_updates else "append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def tumbling_daily(events: DataFrame) -> DataFrame:
+    """Same plan as the oracle-checked stream_tumbling operator; works
+    unchanged on a batch OR streaming events DataFrame."""
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "total_value")
+    )
+
+
+def session_30m(events: DataFrame, with_watermark: bool) -> DataFrame:
+    """Native session_window aggregation (gap 30 min) — the streaming
+    twin of the batch lag-gap emulation in stream_session."""
+    src = events.withWatermark("ts", "1 hour") if with_watermark else events
+    return (
+        src.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Streaming dedup by event_id bounded by a watermark — the
+    streaming analogue of dedup_exact_key; state is evictable, so it
+    runs forever at constant memory."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
