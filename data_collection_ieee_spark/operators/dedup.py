@@ -314,28 +314,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate superset with zero recall loss; bit_count verifies.
     Integer arithmetic end to end — no float drift possible."""
     docs = load_table(spark, sf_dir, "documents")
-    hashed = docs.select(
+    # Whole simhash per doc as ONE narrow in-row expression: hash each
+    # distinct token once, then fold the tokens into a 60-slot sign
+    # counter (zip_with inside aggregate) and assemble the bit vector.
+    # The previous shape exploded (doc × token × bit) rows — 60× the
+    # postings — through two shuffles; this computes the same integer
+    # with zero shuffle and nothing wider than one row.
+    # The token-hash array is let-bound as a lambda variable via
+    # transform(array(<expr>), th -> body)[1] so it is evaluated ONCE
+    # per row — as a plain projected column, CollapseProject would
+    # inline it into all 60 per-bit aggregates (60× the md5 work).
+    simhash = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(_tokens())).alias("token"),
-    ).select(
-        "doc_id",
-        F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
-    bits = (
-        hashed.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bit"))
-        .groupBy("doc_id", "bit")
-        .agg(
-            F.sum(
-                F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1)
-            ).alias("s")
-        )
-    )
-    simhash = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.expr("CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")
-        ).alias("simhash")
+        F.expr(
+            f"""
+            element_at(transform(array(
+                transform(array_distinct(split(text, ' ')),
+                          t -> cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as bigint))
+              ),
+              th -> aggregate(
+                transform(sequence(0, {_SIMHASH_BITS - 1}),
+                  b -> if(aggregate(th, 0, (acc, h) -> acc + if((shiftright(h, b) & 1) = 1, 1, -1)) >= 0,
+                          shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
+                cast(0 as bigint), (a, x) -> a + x
+              )
+            ), 1)
+            """
+        ).alias("simhash"),
     )
     chunks = simhash.select(
         "doc_id",

