@@ -1,0 +1,273 @@
+"""Training-data pipeline operators — corpus curation at 100 TB.
+
+The reference stops at raw record extraction (reference main.py:187-199
+writes whatever was scraped); a production training-data pipeline then
+has to curate: sample per-language mixes, gate on quality signals,
+profile length distributions, balance domains, and pack documents into
+fixed-size training sequences. Each of those is a `queries()` entry
+here, built from codegen-friendly expressions only.
+
+Determinism rules (so the DuckDB oracle hashes match bit-for-bit):
+- sampling decisions come from an md5-derived 60-bit integer of the
+  doc_id — a cross-engine deterministic "random" — never from rand();
+- ratios are integer counts divided once at the end and rounded;
+- packing uses integer running sums over an explicit (source, doc_id)
+  order.
+
+Scale notes:
+- `sample_stratified` is a pure narrow filter — no shuffle, pushes to
+  the scan; rates are swappable per stratum without reshuffling.
+- `pipeline_quality_filter` is one narrow projection; at 100 TB this
+  is the map stage in front of every other curation pass.
+- `text_token_histogram` / `mix_domain_ratios` are single map-side-
+  combined aggregations over tiny key spaces.
+- `pack_sequences` does its running sum per `source` partition (a
+  window over (source, doc_id)) — streams, not global sorts; a 1000-
+  executor cluster packs all sources in parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_collection_ieee_spark.catalog import load_table
+from data_collection_ieee_spark.registry import query
+
+# Cross-engine deterministic 60-bit hash of doc_id, reduced mod 100.
+# Spark and DuckDB md5 hex strings are identical; both take the first
+# 15 hex chars (60 bits, fits BIGINT) and the value is non-negative,
+# so % 100 agrees.
+_SPARK_DOC_BUCKET = (
+    "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint) % 100"
+)
+_SQL_DOC_BUCKET = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+
+# Per-language keep-rates (percent) for the training mix: downsample
+# the dominant language, keep the tail languages whole.
+_RATES = {"en": 40, "fr": 80, "de": 80, "es": 80, "zh": 100}
+_DEFAULT_RATE = 100
+_SPARK_RATE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _RATES.items())
+    + f" ELSE {_DEFAULT_RATE} END"
+)
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang, source,
+       CAST({_SQL_DOC_BUCKET} AS BIGINT) AS bucket
+FROM documents
+WHERE {_SQL_DOC_BUCKET} < ({_SPARK_RATE})
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling: keep a doc iff
+    its md5-bucket (0-99) falls under its language's rate. A pure
+    narrow filter — no shuffle, no rand(), rerunnable byte-identically
+    on any cluster layout; changing the mix is a literal edit."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_DOC_BUCKET)
+    return docs.select(
+        "doc_id", "lang", "source", bucket.cast("long").alias("bucket")
+    ).filter(bucket < F.expr(_SPARK_RATE))
+
+
+_MIN_TOKENS = 20
+_MAX_TOKENS = 1000
+_MAX_STOP_PCT = 30  # % of tokens allowed to be stopwords
+_STOPWORDS = ("the", "a", "of", "and", "to")
+_SQL_STOPLIST = "['" + "', '".join(_STOPWORDS) + "']"
+
+
+@query(
+    "pipeline_quality_filter",
+    oracle=f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '), t -> list_contains({_SQL_STOPLIST}, t))) AS BIGINT)
+           AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_stop,
+       CASE
+         WHEN n_tokens < {_MIN_TOKENS} THEN 'too_short'
+         WHEN n_tokens > {_MAX_TOKENS} THEN 'too_long'
+         WHEN 100 * n_stop > {_MAX_STOP_PCT} * n_tokens THEN 'stopword_heavy'
+         ELSE 'keep'
+       END AS verdict
+FROM sig
+""",
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate in front of training ingestion: token count bounds
+    and stopword-density cap, each doc tagged keep/why-dropped. The
+    threshold test is integer arithmetic (100*n_stop > 30*n_tokens) so
+    no ratio rounding can disagree with the oracle. One narrow pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    sig = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+        ).cast("long").alias("n_stop"),
+    )
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        "n_stop",
+        F.when(F.col("n_tokens") < _MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("n_tokens") > _MAX_TOKENS, F.lit("too_long"))
+        .when(100 * F.col("n_stop") > _MAX_STOP_PCT * F.col("n_tokens"), F.lit("stopword_heavy"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )
+
+
+_HIST_BIN = 32
+
+
+@query(
+    "text_token_histogram",
+    oracle=f"""
+WITH t AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+),
+b AS (
+  SELECT (n_tokens // {_HIST_BIN}) * {_HIST_BIN} AS bin_lo, n_tokens FROM t
+),
+n AS (SELECT COUNT(*) AS total FROM t)
+SELECT CAST(bin_lo AS BIGINT) AS bin_lo,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS sum_tokens,
+       round(CAST(COUNT(*) AS DOUBLE) / MAX(n.total), 6) AS doc_share
+FROM b, n
+GROUP BY bin_lo
+""",
+)
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (fixed 32-token bins) with corpus share —
+    the length profile that drives packing/context-length decisions.
+    Integer bin edges (floor division), one map-side-combined agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    binned = docs.select(
+        (F.floor(n_tokens / _HIST_BIN).cast("long") * _HIST_BIN).alias("bin_lo"),
+        n_tokens.alias("n_tokens"),
+    )
+    total = binned.count()  # scalar; at scale use a broadcast scalar subquery
+    return (
+        binned.groupBy("bin_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .withColumn("doc_share", F.round(F.col("n_docs") / F.lit(total), 6))
+    )
+
+
+@query(
+    "mix_domain_ratios",
+    oracle="""
+WITH g AS (
+  SELECT source, lang,
+         COUNT(*) AS n_docs,
+         SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sum_tokens
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs, sum_tokens,
+       round(CAST(sum_tokens AS DOUBLE) / SUM(sum_tokens) OVER (), 6) AS token_share,
+       round(CAST(sum_tokens AS DOUBLE) / SUM(sum_tokens) OVER (PARTITION BY lang), 6)
+         AS share_within_lang
+FROM g
+""",
+)
+def mix_domain_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language mixing table: per (source, lang) doc and token
+    totals plus each cell's share of the corpus and of its language —
+    the numbers a data-mix rebalancer consumes. Aggregation first (the
+    heavy shuffle, map-side combined), window shares over the tiny
+    aggregated frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("sum_tokens"),
+    )
+    w_all = Window.partitionBy()
+    w_lang = Window.partitionBy("lang")
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "sum_tokens",
+        F.round(F.col("sum_tokens") / F.sum("sum_tokens").over(w_all), 6).alias("token_share"),
+        F.round(F.col("sum_tokens") / F.sum("sum_tokens").over(w_lang), 6).alias(
+            "share_within_lang"
+        ),
+    )
+
+
+_CTX_LEN = 2048
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT source,
+       CAST((cum - n_tokens) // {_CTX_LEN} AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY source, pack_id
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: stream each source's docs in doc_id
+    order, cut a new pack every 2048 cumulative tokens (a doc
+    joins the pack its START offset falls in). Emits per-pack doc
+    count, token fill and doc-id range. The running sum is windowed
+    PER SOURCE — independent streams, so the packing parallelizes
+    across sources/partitions instead of forcing one global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.select(
+            "source",
+            F.floor((F.col("cum") - F.col("n_tokens")) / _CTX_LEN).cast("long").alias("pack_id"),
+            "doc_id",
+            "n_tokens",
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

