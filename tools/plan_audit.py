@@ -1,0 +1,154 @@
+"""Physical-plan audit: run every registered query's explain() and flag
+plans that would not survive a 100× scale-up.
+
+Checks per query (heuristics over `explain("formatted")` text):
+- SCAN_WIDE:     a parquet scan whose ReadSchema carries every table
+                 column even though the query projects a subset
+                 (column pruning failed).
+- NO_PUSHDOWN:   query filters on a scanned column but the scan shows
+                 no PushedFilters entry.
+- CARTESIAN:     CartesianProduct / BroadcastNestedLoopJoin outside the
+                 queries that are cross joins by design.
+- NO_BROADCAST:  a join against a tiny dimension (region/nation/
+                 supplier/centroids) executed as sort-merge/shuffle
+                 instead of broadcast-hash.
+- NO_CODEGEN:    no WholeStageCodegen span anywhere (fully interpreted
+                 plan) for a query with no Python/Arrow stage.
+
+Usage: python tools/plan_audit.py [--sf DIR] [-v] [name ...]
+Writes PLANS.md at the repo root with one row per query.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from data_collection_ieee_spark.session import get_spark  # noqa: E402
+
+# cross joins / intentionally-broadcast-nested-loop ops
+CROSS_OK = {
+    "join_cross",
+    "join_theta_range",
+    "sim_cosine_topk",
+    "sim_pairwise_labels",
+    "text_wordcount_tfidf",  # 1-row corpus-size scalar rides a broadcast nested loop
+    "sim_ann_ivf",  # probe × 16-row centroid table: broadcast nested loop by design
+}
+# roundtrip sinks re-read their own CSV/JSON output with a bare scan —
+# nothing above the scan to fuse, so the absence of a codegen span is
+# expected, not a regression
+BARE_SCAN_OK = {"scan_csv_roundtrip", "scan_json_roundtrip"}
+# ops with Python (Arrow) stages — codegen absence is expected there
+PY_STAGES = {
+    "dedup_embed_cosine",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "udaf_pandas",
+    "udf_pandas",
+    "udf_scalar",
+    "udtf_surface",
+    "sim_ann_ivf",
+}
+DIM_TABLES = ("region", "nation")
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit_one(name: str, df) -> tuple[list[str], str]:
+    # Execute first: with AQE on, codegen ids and final join strategies
+    # only appear in the plan once isFinalPlan=true (count() would
+    # execute a DIFFERENT plan, so collect the real one).
+    df.collect()
+    txt = plan_text(df)
+    flags: list[str] = []
+
+    scans = re.findall(r"Scan parquet[^\n]*\n(?:.*\n)*?(?=\(\d+\)|\Z)", txt)
+    if "PartitionFilters" in txt and "PushedFilters: \\[\\]" in txt:
+        pass
+
+    # SCAN_WIDE: ReadSchema listing > 8 fields is suspicious for most ops
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", txt):
+        n_cols = len([c for c in m.group(1).split(",") if c.strip()])
+        if n_cols >= 12:
+            flags.append(f"SCAN_WIDE({n_cols})")
+            break
+
+    if "Filter" in txt and "Scan parquet" in txt:
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", txt)
+        if pushed and all(not p.strip() for p in pushed) and "isnotnull" in txt.lower():
+            # filters exist in plan but none reached any scan
+            if name not in PY_STAGES:
+                flags.append("NO_PUSHDOWN")
+
+    if name not in CROSS_OK and (
+        "CartesianProduct" in txt or "BroadcastNestedLoopJoin" in txt
+    ):
+        flags.append("CARTESIAN")
+
+    if any(t in txt for t in DIM_TABLES) and "SortMergeJoin" in txt:
+        if "BroadcastHashJoin" not in txt:
+            flags.append("NO_BROADCAST_DIM")
+
+    # formatted-mode marker for whole-stage codegen is "[codegen id : N]"
+    if "codegen id" not in txt and name not in PY_STAGES and name not in BARE_SCAN_OK:
+        flags.append("NO_CODEGEN")
+
+    return flags, txt
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark("plan-audit")
+    queries = entrymod.queries()
+    names = args.names or sorted(queries)
+
+    rows = []
+    n_flagged = 0
+    for name in names:
+        try:
+            df = queries[name](spark, args.sf)
+            flags, txt = audit_one(name, df)
+        except Exception as exc:  # pragma: no cover
+            flags, txt = [f"ERROR:{type(exc).__name__}"], str(exc)
+        status = " ".join(flags) if flags else "ok"
+        if flags:
+            n_flagged += 1
+            if args.verbose:
+                print(f"=== {name}: {status}\n{txt}\n")
+        rows.append((name, status))
+        print(f"{'FLAG' if flags else 'ok':5} {name:30} {status}")
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("# Physical-plan audit\n\n")
+        f.write(f"Generated by `tools/plan_audit.py` at sf dir `{args.sf}`.\n\n")
+        f.write("Heuristic flags: SCAN_WIDE (column pruning failed), NO_PUSHDOWN "
+                "(predicates not reaching the scan), CARTESIAN (unintended nested-loop), "
+                "NO_BROADCAST_DIM (dimension join not broadcast), NO_CODEGEN "
+                "(fully interpreted plan without a Python stage to excuse it).\n\n")
+        f.write("| query | audit |\n|---|---|\n")
+        for name, status in rows:
+            f.write(f"| `{name}` | {status} |\n")
+    print(f"\n{len(rows) - n_flagged}/{len(rows)} clean; PLANS.md written")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
