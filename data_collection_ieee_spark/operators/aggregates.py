@@ -206,3 +206,126 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set("n_name")), "; ").alias("nations"),
         F.count("*").alias("n"),
     )
+
+
+_PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIVOT_SQL_CELLS = ",\n       ".join(
+    f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)"
+    f" AS prio_{i + 1}"
+    for i, p in enumerate(_PIVOT_PRIORITIES)
+)
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+SELECT o_orderstatus,
+       {_PIVOT_SQL_CELLS}
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab) total price by order priority per status. The
+    pivot VALUES are pinned explicitly — no discovery pass over the
+    data, so the plan is a single hash aggregate producing one
+    conditional decimal sum per cell (exactly the CASE-WHEN form of
+    the oracle), and the output schema is static at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PIVOT_PRIORITIES)
+        .agg(dsum("o_totalprice"))
+    )
+    return piv.select(
+        "o_orderstatus",
+        *[F.col(f"`{p}`").alias(f"prio_{i + 1}") for i, p in enumerate(_PIVOT_PRIORITIES)],
+    )
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+),
+r AS (
+  SELECT l_returnflag, l_quantity, cnt,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY cnt DESC, l_quantity ASC) AS rn
+  FROM c
+)
+SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n
+FROM r WHERE rn = 1
+""",
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode with a deterministic smallest-value
+    tie-break (count desc, value asc). Two hash aggregates + a window
+    over the tiny (group × distinct-value) frame — never a sort of the
+    raw fact table."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("cnt").alias("mode_n"),
+        )
+    )
+
+
+@query(
+    "stats_corr",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+FROM s
+""",
+)
+def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group WITHOUT corr()'s float-accumulation
+    nondeterminism: the five moments are exact decimal sums (order-
+    independent), and the closed-form correlation is one fixed double
+    expression over them — bit-identical on any partitioning, any
+    engine. Still one map-side-combined aggregate at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = dec("l_quantity")
+    y = dec("l_extendedprice")
+    big = "decimal(30,4)"
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast(big)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(big)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(big)).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )

@@ -195,3 +195,91 @@ def map_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_value"),
         F.when(k >= 50, "high").otherwise("low").alias("k_band"),
     )
+
+
+@query(
+    "explode_outer_fill",
+    oracle="""
+WITH l AS (
+  SELECT p_partkey,
+         list_filter(string_split(p_name, ' '), t -> length(t) > 5) AS toks
+  FROM part
+)
+SELECT p_partkey,
+       unnest(CASE WHEN len(toks) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE toks END) AS token
+FROM l
+""",
+)
+def explode_outer_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics: rows whose filtered token array is
+    empty survive with a NULL token (count-preserving lateral view) —
+    the outer-unnest contract the reference's per-record extraction
+    loop needs when a selector matches nothing (reference
+    main.py:117-123 drops such rows; the engine keeps them typed)."""
+    p = load_table(spark, sf_dir, "part")
+    toks = F.filter(F.split("p_name", " "), lambda t: F.length(t) > 5)
+    return p.select("p_partkey", F.explode_outer(toks).alias("token"))
+
+
+@query(
+    "str_edit_distance",
+    oracle="""
+SELECT p_partkey,
+       levenshtein(p_name, p_type) AS lev,
+       CAST(length(p_name) AS INT) AS len_name
+FROM part
+""",
+)
+def str_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance between two string columns (fuzzy-match
+    primitive for the engine's record-linkage surface; both engines
+    implement the same exact DP distance). Narrow, codegen'd, no
+    shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_type").alias("lev"),
+        F.length("p_name").cast("int").alias("len_name"),
+    )
+
+
+@query(
+    "date_series_fill",
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS d FROM events
+),
+b AS (
+  SELECT event_type, MIN(d) AS lo, MAX(d) AS hi FROM e GROUP BY event_type
+),
+days AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+  FROM b
+),
+c AS (
+  SELECT event_type, d, COUNT(*) AS n FROM e GROUP BY event_type, d
+)
+SELECT days.event_type, days.d, COALESCE(c.n, 0) AS n
+FROM days LEFT JOIN c ON days.event_type = c.event_type AND days.d = c.d
+""",
+)
+def date_series_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free daily event counts: per-type min/max date bounds →
+    sequence() date spine → left join observed counts → zero-fill.
+    The dense-calendar trick every time-series rollup needs (a missing
+    day must report 0, not vanish). The spine is generated from the
+    tiny bounds frame, never by scanning the fact table twice at full
+    width."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    bounds = ev.groupBy("event_type").agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    days = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    counts = ev.groupBy("event_type", "d").agg(F.count("*").alias("n"))
+    return days.join(counts, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("n", F.lit(0)).alias("n")
+    )

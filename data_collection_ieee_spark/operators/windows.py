@@ -164,3 +164,36 @@ def win_ntile_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("balance_quartile"),
         F.dense_rank().over(Window.orderBy("c_mktsegment")).alias("segment_rank"),
     )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS last_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over a full-partition frame, with the order
+    made total (o_orderdate, o_orderkey) so "first" can never depend on
+    partition layout. One shuffle on o_custkey."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
