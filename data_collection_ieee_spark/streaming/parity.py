@@ -31,33 +31,59 @@ _EVENTS_RAW_SCHEMA = (
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 1,
+    files_per_trigger: int | None = None,
+) -> DataFrame:
     """FileStreamSource requires a *directory* of files (that is the
-    files-on-arrival contract), so the single events.parquet is staged
-    into a scratch dir first — stand-in for the landing zone a real
-    deployment would already have."""
+    files-on-arrival contract), so events.parquet is staged into a
+    scratch dir first — stand-in for the landing zone a real deployment
+    would already have. With ``n_files > 1`` the table is split into
+    that many files and ``files_per_trigger`` can force MULTIPLE
+    micro-batches under availableNow — the way tests prove state
+    survives batch boundaries."""
     import shutil
     import tempfile
 
     stage = os.path.join(
-        tempfile.gettempdir(), "dcis_stream_stage", sf_dir.strip("/").replace("/", "_")
+        tempfile.gettempdir(),
+        "dcis_stream_stage",
+        f"{sf_dir.strip('/').replace('/', '_')}_{n_files}",
     )
-    os.makedirs(stage, exist_ok=True)
-    dst = os.path.join(stage, "events.parquet")
-    if not os.path.exists(dst):
-        shutil.copy(f"{sf_dir}/events.parquet", dst)
+    if not os.path.exists(stage):
+        os.makedirs(stage, exist_ok=True)
+        if n_files == 1:
+            shutil.copy(f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet"))
+        else:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(f"{sf_dir}/events.parquet")
+            step = (tbl.num_rows + n_files - 1) // n_files
+            for i in range(n_files):
+                chunk = tbl.slice(i * step, step)
+                if chunk.num_rows:
+                    pq.write_table(chunk, os.path.join(stage, f"events_{i:03d}.parquet"))
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).format("parquet").load(stage)
+    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA).format("parquet")
+    if files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(files_per_trigger))
+    raw = reader.load(stage)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
-def run_to_memory(df: DataFrame, all_updates: bool = False) -> DataFrame:
+def run_to_memory(
+    df: DataFrame, all_updates: bool = False, mode: str | None = None
+) -> DataFrame:
     """Execute a streaming DataFrame to completion with the availableNow
-    trigger into a memory sink; return the materialized result."""
+    trigger into a memory sink; return the materialized result.
+    ``mode`` overrides the output mode (e.g. "update" for
+    applyInPandasWithState operators)."""
     name = f"parity_{uuid.uuid4().hex[:12]}"
     q = (
-        df.writeStream.outputMode("complete" if all_updates else "append")
+        df.writeStream.outputMode(mode or ("complete" if all_updates else "append"))
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)

@@ -1,0 +1,79 @@
+"""Custom stateful streaming operator (applyInPandasWithState).
+
+The windowed/session operators in streaming_shaped.py cover everything
+Spark's built-in stateful aggregations express. This module is the
+escape hatch the survey calls for when they don't: arbitrary per-key
+state carried across micro-batches, held in the state store
+(checkpointable, evictable), updated with Arrow-batched pandas — the
+pattern for running counters, online feature aggregates, or per-entity
+anomaly trackers over an unbounded stream.
+
+Operator here: per-user running totals (event count, value sum, last
+event time). Every micro-batch emits each touched user's NEW running
+totals — an incrementally-maintained per-user feature row. At 100 TB /
+unbounded input the state is one tiny fixed-width row per user,
+partitioned by the grouping key across executors; nothing ever rescans
+history.
+
+Verified in tests/test_streaming.py by replaying the events table in
+MULTIPLE micro-batches (maxFilesPerTrigger=1 over a multi-file stage)
+and asserting the final per-user state equals the batch groupBy — i.e.
+state provably survives batch boundaries.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value_cents bigint, last_ts timestamp"
+)
+STATE_SCHEMA = "n bigint, cents bigint, last_us bigint"
+
+
+def _update_user_state(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    n, cents, last_us = state.get if state.exists else (0, 0, None)
+    for pdf in pdfs:
+        n += len(pdf)
+        # money in integer cents: associative and exact, so totals are
+        # identical whatever the batch/arrival order (float += would
+        # drift with batching)
+        cents += int(round(float(pdf["value"].sum()) * 100))
+        ts_max = pdf["ts"].max()
+        us = int(ts_max.value // 1000)  # pandas Timestamp ns -> µs
+        last_us = us if last_us is None else max(last_us, us)
+    state.update((n, cents, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value_cents": [cents],
+            "last_ts": [pd.Timestamp(last_us * 1000)],
+        }
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Streaming per-user running totals with explicit state. Watermark
+    bounds late data; NoTimeout keeps user state live for the stream's
+    lifetime (swap for ProcessingTimeTimeout to expire idle users)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

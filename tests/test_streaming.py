@@ -45,3 +45,46 @@ def test_dedup_within_watermark(spark, sf_dir):
     # source has unique event_ids: dedup must be lossless on clean data
     assert deduped.count() == n_events
     assert deduped.select("event_id").distinct().count() == n_events
+
+
+def test_stateful_running_totals_across_microbatches(spark, sf_dir):
+    """applyInPandasWithState: replay events as 3 files / 1 file per
+    trigger => 3 micro-batches; per-user state must carry across them,
+    so each user's LAST emitted row equals the batch groupBy totals."""
+    from pyspark.sql import functions as F
+
+    from data_collection_ieee_spark.streaming import stateful
+
+    events = parity.read_events_stream(spark, sf_dir, n_files=3, files_per_trigger=1)
+    out = parity.run_to_memory(stateful.running_user_totals(events), mode="update")
+    # update mode emits one row per (touched user, micro-batch); the
+    # final state per user is the row with the highest n_events
+    final = (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value_cents").alias("cents"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        .collect()
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    )
+    fk = {r["user_id"]: (r["n_events"], r["last_ts"]) for r in final}
+    bk = {r["user_id"]: (r["n_events"], r["last_ts"]) for r in batch}
+    assert fk == bk
+    # cents totals: stateful sums per-batch pandas floats then rounds —
+    # allow ±1 cent per micro-batch of rounding slack vs the exact sum
+    fc = {r["user_id"]: r["cents"] for r in final}
+    bc = {r["user_id"]: r["cents"] for r in batch}
+    assert set(fc) == set(bc)
+    for u in fc:
+        assert abs(fc[u] - bc[u]) <= 3, (u, fc[u], bc[u])
