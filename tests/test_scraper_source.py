@@ -124,3 +124,55 @@ def test_token_bucket_paces():
         bucket.acquire()
     elapsed = time.monotonic() - t0
     assert elapsed >= 4 / 20.0 - 0.02  # 4 refills needed after the burst token
+
+
+def _write_pages(tmpdir: str, n_pages: int) -> None:
+    import os
+
+    for p in range(1, n_pages + 1):
+        with open(os.path.join(tmpdir, f"page_{p:03d}.html"), "w") as f:
+            f.write(_page(4, p))
+
+
+def test_article_html_datasource_batch(spark, tmp_path):
+    from data_collection_ieee_spark.sources.article_datasource import (
+        ArticleHtmlDataSource,
+    )
+
+    _write_pages(str(tmp_path), 3)
+    spark.dataSource.register(ArticleHtmlDataSource)
+    df = (
+        spark.read.format("article_html")
+        .option("path", str(tmp_path))
+        .option("source_tag", "ieee")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 12  # 3 pages x 4 good articles; malformed skipped
+    assert df.columns == list(articles.IEEE_COLUMNS)
+    assert {r["indexation"] for r in rows} == {"IEEE"}
+    assert all(r["doi"].startswith("DOI: 10.1109/TEST.") for r in rows)
+    # one input partition per page file
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_article_html_datasource_streaming(spark, tmp_path):
+    import os
+
+    from data_collection_ieee_spark.sources.article_datasource import (
+        ArticleHtmlDataSource,
+    )
+    from data_collection_ieee_spark.streaming import parity
+
+    _write_pages(str(tmp_path), 2)
+    spark.dataSource.register(ArticleHtmlDataSource)
+    stream = (
+        spark.readStream.format("article_html")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    out = parity.run_to_memory(stream)
+    assert out.count() == 8  # both pages consumed in the availableNow replay
+    assert {r["titre"] for r in out.collect()} == {
+        f"Paper {p}-{i} on Spark Engines" for p in (1, 2) for i in range(4)
+    }
