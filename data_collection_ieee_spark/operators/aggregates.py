@@ -329,3 +329,38 @@ def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(corr, 6).alias("corr_qty_price"),
     )
+
+
+_N_SALTS = 16
+
+
+@query(
+    "agg_salted_skew",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via two-stage salting: stage 1 aggregates on
+    (event_type, salt) — the salt (a deterministic hash of the row key,
+    mod 16) splits each hot group across 16 reducers — stage 2 combines
+    the 16 partials per group. Results are identical to the direct
+    GROUP BY (counts and decimal sums are associative); what changes at
+    100 TB is the shuffle profile: no single reducer ever receives a
+    whole hot key's rows. AQE's skew handling makes this unnecessary
+    for JOINS, but for aggregations with giant groups pre-salting is
+    still the reliable fix."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(_N_SALTS)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(dec("value")).alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )

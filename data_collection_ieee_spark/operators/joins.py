@@ -232,3 +232,45 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_ts",
         )
     )
+
+
+_JOIN_SALTS = 8
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+SELECT s.s_nationkey,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact⋈dim join by salting: the fact side gets a
+    deterministic salt in [0, 8) hashed from its row id; the dimension
+    side is replicated once per salt value (8× a SMALL table); the join
+    key becomes (suppkey, salt), so a hot supplier's rows spread over 8
+    reducers instead of one. Same result as the plain join — the salt
+    is independent of the join predicate. This is the manual fallback
+    when AQE skew-join can't kick in (e.g. the skewed side feeds an
+    aggregation that must co-partition); with clean stats, prefer
+    broadcast (join_broadcast) or AQE."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    fact = li.withColumn("salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(_JOIN_SALTS)))
+    dim = su.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_JOIN_SALTS)]))
+    )
+    joined = fact.join(
+        dim, (fact.l_suppkey == dim.s_suppkey) & (fact.salt == dim.salt), "inner"
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
