@@ -1,0 +1,109 @@
+"""Property-based tests (SURVEY.md §5.4): algebraic identities that must
+hold for ANY input, checked over hypothesis-generated micro-frames.
+
+Each property runs a bounded number of examples (Spark jobs are not
+free) with shrinking disabled-by-deadline; the frames are tiny but
+adversarial — empty strings, duplicate rows, unicode, missing columns.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from data_collection_ieee_spark.sources.articles import (
+    ACM_COLUMNS,
+    IEEE_COLUMNS,
+    bronze_to_silver,
+    merge_sources,
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_token = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x2FF),
+    min_size=0,
+    max_size=8,
+)
+_row = st.tuples(_token, st.integers(min_value=-50, max_value=50))
+_rows = st.lists(_row, min_size=0, max_size=12)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v int") if rows else (
+        spark.createDataFrame([], "k string, v int")
+    )
+
+
+@given(a=_rows, b=_rows)
+@settings(**_SETTINGS)
+def test_filter_commutes_with_union(spark, a, b):
+    """σ(A ∪ B) == σ(A) ∪ σ(B) — the identity that makes predicate
+    pushdown through unions legal."""
+    pred = F.col("v") > 0
+    da, db = _df(spark, a), _df(spark, b)
+    lhs = da.unionByName(db).filter(pred)
+    rhs = da.filter(pred).unionByName(db.filter(pred))
+    assert sorted(map(tuple, lhs.collect())) == sorted(map(tuple, rhs.collect()))
+
+
+@given(rows=_rows)
+@settings(**_SETTINGS)
+def test_drop_duplicates_idempotent(spark, rows):
+    df = _df(spark, rows)
+    once = df.dropDuplicates(["k"])
+    twice = once.dropDuplicates(["k"])
+    assert sorted(r["k"] for r in once.collect()) == sorted(
+        r["k"] for r in twice.collect()
+    )
+    # per-key cardinality is exactly 1
+    ks = [r["k"] for r in once.collect()]
+    assert len(ks) == len(set(ks))
+
+
+@given(rows=_rows)
+@settings(**_SETTINGS)
+def test_bronze_to_silver_idempotent_and_null_normalizing(spark, rows):
+    """No ""-sentinel survives silver normalization, in any column, and
+    normalization never drops rows."""
+    bronze_rows = [
+        tuple("" if (i + v) % 3 == 0 else f"{t}{i}" for i in range(len(IEEE_COLUMNS)))
+        for t, v in rows
+    ]
+    df = spark.createDataFrame(
+        bronze_rows or [], ", ".join(f"{c} string" for c in IEEE_COLUMNS)
+    )
+    s1 = bronze_to_silver(df)
+    for c in IEEE_COLUMNS:
+        if c in s1.columns:
+            assert s1.filter(F.col(c) == "").count() == 0, c
+    assert s1.count() == df.count()  # normalization never drops rows
+
+
+@given(a=_rows, b=_rows)
+@settings(**_SETTINGS)
+def test_schema_drift_union_total_and_null_padded(spark, a, b):
+    """The 11-col ∪ 9-col merge keeps every row and null-pads exactly
+    the columns the narrow side lacks."""
+    ieee = spark.createDataFrame(
+        [tuple(f"{t}{i}" for i in range(len(IEEE_COLUMNS))) for t, _ in a] or [],
+        ", ".join(f"{c} string" for c in IEEE_COLUMNS),
+    )
+    acm = spark.createDataFrame(
+        [tuple(f"{t}{i}" for i in range(len(ACM_COLUMNS))) for t, _ in b] or [],
+        ", ".join(f"{c} string" for c in ACM_COLUMNS),
+    )
+    merged = merge_sources(bronze_to_silver(ieee), bronze_to_silver(acm))
+    assert merged.count() == ieee.count() + acm.count()
+    only_ieee = set(IEEE_COLUMNS) - set(ACM_COLUMNS)
+    for c in only_ieee & set(merged.columns):
+        # every ACM-origin row must be NULL in IEEE-only columns
+        assert merged.filter(
+            (F.col("indexation") == "ACM") & F.col(c).isNotNull()
+        ).count() == 0
