@@ -274,3 +274,66 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+_BUCKETED_READY: set = set()
+_N_BUCKETS = 8
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketing: both fact tables are
+    written ONCE as tables bucketed (and sorted) by the join key into
+    the session catalog; the join then reads bucket i against bucket i
+    — a SortMergeJoin with NO Exchange on either side (asserted in
+    tests/test_oracle_parity.py::test_bucketed_join_has_no_shuffle).
+
+    This is the 100 TB pattern for a join you run every day: pay the
+    partitioning once at write time, never again at read time. The
+    bucketed copies are materialized once per scale factor and reused
+    (like any curated warehouse table); the measured query is the
+    join itself."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    li_tbl, o_tbl = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BUCKETED_READY:
+        for name, src, bkey in (
+            (li_tbl, load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"), "l_orderkey"),
+            (o_tbl, load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"), "o_orderkey"),
+        ):
+            if not spark.catalog.tableExists(name):
+                # a previous session's managed-table files may survive in
+                # the warehouse dir while the (in-memory) catalog entry
+                # did not — clear the stale location or saveAsTable fails
+                import os
+                import shutil
+
+                warehouse = spark.conf.get("spark.sql.warehouse.dir")
+                loc = os.path.join(warehouse.removeprefix("file:"), name.lower())
+                if os.path.exists(loc):
+                    shutil.rmtree(loc)
+                (
+                    src.write.mode("overwrite")
+                    .bucketBy(_N_BUCKETS, bkey)
+                    .sortBy(bkey)
+                    .saveAsTable(name)
+                )
+        _BUCKETED_READY.add(key)
+    li = spark.table(li_tbl)
+    o = spark.table(o_tbl)
+    joined = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -26,3 +26,36 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     else:
         problems = orc.compare(df, duck, sql)
         assert not problems, f"{name}: {problems}"
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """The whole point of join_bucketed: bucket i joins bucket i with no
+    Exchange on either join input (the only allowed Exchange is the
+    post-join aggregation's)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from data_collection_ieee_spark import registry
+
+    # at test scale AQE would broadcast the tiny side and hide the
+    # property under test; force the co-located sort-merge path
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.QUERIES["join_bucketed"](spark, sf_dir)
+        df.collect()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        txt = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    tree = txt.split("\n\n")[0]  # the top-down operator tree
+    if "== Final Plan ==" in tree:  # AQE prints final + initial; keep final
+        tree = tree.split("== Final Plan ==", 1)[1].split("== Initial Plan ==", 1)[0]
+    assert "SortMergeJoin" in tree
+    # everything below the join (its two bucketed scan inputs) must be
+    # Exchange-free; the only allowed Exchange is the post-join
+    # aggregation's, which sits ABOVE the join in a top-down print
+    below_join = tree.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below_join, below_join
