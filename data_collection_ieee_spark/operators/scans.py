@@ -107,3 +107,35 @@ def union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_orderpriority"
     )
     return wide.unionByName(narrow, allowMissingColumns=True)
+
+
+@query(
+    "scan_partition_pruned",
+    oracle="""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE lang IN ('fr', 'de')
+""",
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning: documents are
+    written once per scale factor as parquet partitioned by `lang`
+    (directory-per-value), and the query's lang predicate is satisfied
+    by PRUNING — the fr/de directories are the only ones listed or
+    opened, visible as PartitionFilters in the scan node. At 100 TB
+    this is the difference between scanning two languages and scanning
+    the corpus; the partition column itself costs zero bytes in the
+    files."""
+    path = _scratch(f"docs_by_lang_{sf_dir.strip('/').replace('/', '_')}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "documents")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(path)
+        )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("lang").isin("fr", "de"))
+        .select("doc_id", "lang", "source", "n_chars")
+    )

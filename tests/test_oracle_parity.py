@@ -59,3 +59,24 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     # aggregation's, which sits ABOVE the join in a top-down print
     below_join = tree.split("SortMergeJoin", 1)[1]
     assert "Exchange" not in below_join, below_join
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    """scan_partition_pruned's lang predicate must be satisfied by
+    partition pruning (PartitionFilters on the scan), not by reading
+    every directory and filtering rows."""
+    import io
+    from contextlib import redirect_stdout
+
+    from data_collection_ieee_spark import registry
+
+    df = registry.QUERIES["scan_partition_pruned"](spark, sf_dir)
+    df.collect()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    txt = buf.getvalue()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
+    assert m and "lang" in m.group(1), txt
