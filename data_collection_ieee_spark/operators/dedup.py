@@ -39,7 +39,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_collection_ieee_spark.catalog import load_table
@@ -456,3 +456,77 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInPandas(block_pairs, schema="a_id bigint, b_id bigint, cos_sim double")
+
+
+@query(
+    "dedup_cluster_assign",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_SQL_JACCARD_PAIRS}),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id AS u, a_id AS v FROM pairs
+),
+nodes AS (
+  SELECT doc_id FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+reach(u, lbl) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+),
+lab AS (SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+""",
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: every doc labeled with its
+    connected component's minimum doc_id over the exact-Jaccard pair
+    graph — the assignment a dedup campaign actually consumes (keep one
+    representative per cluster, drop the rest).
+
+    Connected components via iterative min-label propagation: each
+    round joins current labels across edges and keeps the per-node min;
+    the loop stops when a round changes nothing. Rounds needed =
+    O(graph diameter); duplicate clusters are near-cliques (diameter
+    1-2), and the hard cap of 15 covers any pathological chain at any
+    scale. Each round is one shuffle join + one aggregate — fully
+    distributed; the only driver-side value is the converged? count.
+    Oracle: DuckDB recursive CTE computing exact min-reachable labels.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.union(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).withColumnsRenamed({"a_id": "u", "b_id": "v"}).persist()
+    labels = (
+        _shingles_df(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(15):
+        prop = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .select(F.col("u").alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumn(
+        "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
+    )
