@@ -127,3 +127,42 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def click_purchase_join(clicks_src: DataFrame, purchases_src: DataFrame) -> DataFrame:
+    """Stream-stream inner join: each click joined to the same user's
+    purchases within the next 10 minutes. Works identically on batch
+    DataFrames (no watermark needed) and on streams, where BOTH sides
+    carry watermarks and the join condition bounds event time in both
+    directions — that bound is what lets Spark evict join state, so the
+    join runs forever at bounded memory. One shuffle per side on
+    user_id; state is co-partitioned with the join key."""
+    is_streaming = clicks_src.isStreaming
+    clicks = clicks_src.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = purchases_src.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if is_streaming:
+        clicks = clicks.withWatermark("c_ts", "30 minutes")
+        purchases = purchases.withWatermark("p_ts", "30 minutes")
+    return clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "c_ts",
+        "p_ts",
+        "purchase_value",
+    )
