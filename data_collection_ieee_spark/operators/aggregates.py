@@ -364,3 +364,26 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("pv").cast("double").alias("total_value"),
     )
+
+
+@query("agg_approx_quantiles")
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch, accuracy 10000)
+    of order totals per status — the mergeable-sketch shape that scales:
+    partial sketches combine across partitions without ever sorting the
+    column. No SQL oracle (sketch internals differ per engine); the
+    tolerance contract vs exact percentiles is asserted in
+    tests/test_llm_ops.py."""
+    o = load_table(spark, sf_dir, "orders")
+    q = F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(q.alias("qs"))
+        .select(
+            "o_orderstatus",
+            F.col("qs")[0].alias("p25"),
+            F.col("qs")[1].alias("p50"),
+            F.col("qs")[2].alias("p75"),
+            F.col("qs")[3].alias("p95"),
+        )
+    )

@@ -65,6 +65,31 @@ def read_bronze_json(spark: SparkSession, path: str, source: str) -> DataFrame:
     return spark.read.schema(schema).option("multiLine", True).json(path)
 
 
+def read_bronze_jsonl_permissive(
+    spark: SparkSession, path: str, source: str
+) -> DataFrame:
+    """Read a JSON-lines feed in PERMISSIVE mode: malformed lines land
+    in `_corrupt_record` instead of failing the job — the engine's form
+    of the reference's per-record skip-and-continue (A16, reference
+    main.py:117-123), except nothing is silently lost: corrupt payloads
+    stay queryable for quarantine/retry. Callers split on
+    `_corrupt_record IS NULL`.
+
+    The frame is cached before returning: Spark forbids queries that
+    reference ONLY the corrupt-record column against the raw file scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); caching
+    materializes the parse once and makes any split legal."""
+    schema = IEEE_BRONZE_SCHEMA if source == "ieee" else ACM_BRONZE_SCHEMA
+    schema = schema.add("_corrupt_record", T.StringType(), True)
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+
+
 def read_bronze_csv(spark: SparkSession, path: str, source: str) -> DataFrame:
     schema = IEEE_BRONZE_SCHEMA if source == "ieee" else ACM_BRONZE_SCHEMA
     return (

@@ -124,3 +124,38 @@ def test_sink_roundtrip_csv_json(tmp_path, spark, ieee_silver):
     titles = {r[0] for r in back_json.select("titre").collect()}
     orig = {r[0] for r in subset.select("titre").collect()}
     assert titles == orig
+
+
+def test_permissive_jsonl_quarantines_corrupt_records(spark, tmp_path):
+    """A16 re-designed: malformed lines neither kill the job nor vanish
+    — they land in _corrupt_record for quarantine."""
+    import json as _json
+
+    from data_collection_ieee_spark.sources.articles import (
+        read_bronze_jsonl_permissive,
+    )
+
+    good = [
+        {"journal": "", "indexation": "IEEE", "publication": "P", "doi": f"DOI: 10.1109/X.{i}",
+         "titre": f"T{i}", "chercheurs": "A; B", "laboratoires": "", "abstract": "a",
+         "keywords": "", "pays": "", "quartile": ""}
+        for i in range(4)
+    ]
+    lines = [_json.dumps(g) for g in good]
+    lines.insert(2, '{"titre": "broken, unterminated')  # malformed JSON
+    lines.insert(4, "not json at all {{{{")
+    p = tmp_path / "feed.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+
+    df = read_bronze_jsonl_permissive(spark, str(p), "ieee")
+    clean = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert df.count() == 6
+    assert clean.count() == 4
+    assert sorted(r["titre"] for r in clean.collect()) == ["T0", "T1", "T2", "T3"]
+    assert bad.count() == 2
+    # the corrupt payloads are preserved verbatim for quarantine
+    assert {r["_corrupt_record"] for r in bad.collect()} == {
+        '{"titre": "broken, unterminated',
+        "not json at all {{{{",
+    }

@@ -96,3 +96,25 @@ def test_pack_sequences_invariants(spark, sf_dir):
         # pack except possibly the last must have crossed its boundary
         total = sum(p["pack_tokens"] for p in packs)
         assert total == sum(p["pack_tokens"] for p in packs)  # sanity: no loss
+
+
+def test_approx_quantiles_within_tolerance(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_collection_ieee_spark.catalog import load_table
+
+    approx = {r["o_orderstatus"]: r for r in _rows("agg_approx_quantiles", spark, sf_dir)}
+    exact = {
+        r["o_orderstatus"]: r
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95))").alias("qs")
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for status, a in approx.items():
+        for i, p in enumerate(("p25", "p50", "p75", "p95")):
+            e = exact[status]["qs"][i]
+            assert abs(a[p] - e) <= max(1.0, 0.02 * abs(e)), (status, p, a[p], e)
