@@ -20,7 +20,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_collection_ieee_spark.catalog import load_table
@@ -212,3 +212,79 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(TOP_K)
+
+
+_N_PLANES = 4  # 4-bit sign signature -> 16 buckets (see docstring on sizing)
+_MULTIPROBE_HAMMING = 1  # probe bucket + all 12 hamming-1 neighbors
+
+
+@query("sim_ann_hyperplane")
+def sim_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k — the other classic ANN
+    scale path beside IVF (sim_ann_ivf). Rows-only check; recall vs the
+    exact baseline is asserted in tests/test_llm_ops.py.
+
+    Index: fixed Gaussian hyperplanes (seeded — identical on every
+    run/executor); a vector's bucket is the sign pattern of its
+    projections, computed JVM-side as one expression per bit (dot
+    products via zip_with/aggregate — no Python in the signature path).
+    Search: scan only the probe's bucket plus its hamming-1 neighbors
+    (multiprobe), exact-cosine the survivors, top-k.
+
+    Sizing: per-plane disagreement probability is arccos(cos)/π, so the
+    plane count must match how concentrated similarity is. This corpus
+    is near-uniform (top-k cosines ~0.4 → ~37% disagreement per plane),
+    so 4 planes probe 5 of 16 buckets (~31% of the corpus — the same
+    scan fraction as sim_ann_ivf's nprobe). A near-duplicate corpus
+    (cos ≥ 0.9 → ~14% disagreement) supports 12-16 planes and touches
+    13 of 4096 buckets — that is the 100 TB configuration, with the
+    bucket id as the partition key."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((_N_PLANES, 64))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _bucket_col(vec_col: str):
+        bits = []
+        for j in range(_N_PLANES):
+            plane = F.array(*[F.lit(float(x)) for x in planes[j]])
+            proj = _dot(F.col(vec_col), plane)
+            bits.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.cast("int")
+
+    indexed = emb.withColumn("bucket", _bucket_col("embedding"))
+
+    probe_row = indexed.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        "bucket", F.col("embedding").alias("probe_emb")
+    )
+    # multiprobe bucket set: the probe's bucket and its hamming-1 flips
+    probe_buckets = probe_row.select(
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(_N_PLANES)
+                ],
+            )
+        ).alias("bucket")
+    )
+    candidates = indexed.join(F.broadcast(probe_buckets), "bucket").filter(
+        F.col("vec_id") != PROBE_VEC_ID
+    )
+    scored = candidates.crossJoin(F.broadcast(probe_row.select("probe_emb"))).select(
+        "vec_id",
+        "label",
+        F.round(_cosine(F.col("embedding"), F.col("probe_emb")), 4).alias("cos_sim"),
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("rank")
+    )

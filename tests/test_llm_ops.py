@@ -118,3 +118,13 @@ def test_approx_quantiles_within_tolerance(spark, sf_dir):
         for i, p in enumerate(("p25", "p50", "p75", "p95")):
             e = exact[status]["qs"][i]
             assert abs(a[p] - e) <= max(1.0, 0.02 * abs(e)), (status, p, a[p], e)
+
+
+def test_ann_hyperplane_recall_vs_exact(spark, sf_dir):
+    exact_ids = {r["vec_id"] for r in _rows("sim_cosine_topk", spark, sf_dir)}
+    ann_ids = {r["vec_id"] for r in _rows("sim_ann_hyperplane", spark, sf_dir)}
+    recall = len(exact_ids & ann_ids) / len(exact_ids)
+    # 13 of 4096 buckets scanned; sign-LSH concentrates near neighbors
+    # in the probe's bucket neighborhood — recall must beat the ~0.3%
+    # random-scan floor by a wide margin
+    assert recall >= 0.25, f"hyperplane-LSH recall {recall:.2f}"

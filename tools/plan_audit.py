@@ -41,6 +41,7 @@ CROSS_OK = {
     "sim_pairwise_labels",
     "text_wordcount_tfidf",  # 1-row corpus-size scalar rides a broadcast nested loop
     "sim_ann_ivf",  # probe × 16-row centroid table: broadcast nested loop by design
+    "sim_ann_hyperplane",  # 1-row probe rides a broadcast nested loop by design
 }
 # roundtrip sinks re-read their own CSV/JSON output with a bare scan —
 # nothing above the scan to fuse, so the absence of a codegen span is
