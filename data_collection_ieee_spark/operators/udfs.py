@@ -12,6 +12,8 @@ stated plainly:
 - `udtf_surface` Python UDTF (one row → N rows), the reference's
                 page→records expansion (mainn.py:62-83) as a table
                 function
+- `udf_grouped_map` applyInPandas split-apply-combine (whole group in,
+                whole frame out)
 
 Everything else in this engine deliberately avoids Python in the hot
 path; this module exists to cover the extension surface itself.
@@ -140,4 +142,39 @@ def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, s.pos, s.token
         FROM documents_udtf_v d, LATERAL split_tokens(d.text) s
         """
+    )
+
+
+@query(
+    "udf_grouped_map",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       round((o_totalprice - MIN(o_totalprice) OVER w)
+             / (MAX(o_totalprice) OVER w - MIN(o_totalprice) OVER w), 6) AS price_scaled
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus)
+""",
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas): each group arrives as one
+    pandas DataFrame, is transformed wholesale (per-status min-max
+    scaling), and returns a new frame — the split-apply-combine
+    extension point for group-local logic that won't fit an aggregate
+    (training-pipeline uses: per-domain feature scaling, per-group
+    resampling). Deterministic because min/max are exact and the scale
+    expression is one fixed IEEE op sequence, so the pandas result
+    equals the window-function oracle bit-for-bit after rounding."""
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo = pdf["o_totalprice"].min()
+        hi = pdf["o_totalprice"].max()
+        out = pdf[["o_orderkey", "o_orderstatus"]].copy()
+        out["price_scaled"] = ((pdf["o_totalprice"] - lo) / (hi - lo)).round(6)
+        return out
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return o.groupBy("o_orderstatus").applyInPandas(
+        scale, schema="o_orderkey bigint, o_orderstatus string, price_scaled double"
     )
