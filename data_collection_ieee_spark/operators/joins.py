@@ -337,3 +337,61 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+     j AS (
+       SELECT c.event_id AS click_id,
+              CAST(c.ts AS TIMESTAMP) AS click_ts,
+              p.event_id AS purchase_id,
+              CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+              ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                 ORDER BY p.ts ASC, p.event_id ASC) AS rn
+       FROM c JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts
+     )
+SELECT click_id, click_ts, purchase_id, purchase_ts FROM j WHERE rn = 1
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click matched to the EARLIEST purchase
+    at-or-after it for the same user (attribution direction — "which
+    purchase did this click lead to"). Same sort-based union plan as
+    join_asof run in reverse order: one shuffle on user_id, a window
+    carrying the next-seen purchase backward, no per-key join blowup."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("eid"), F.lit(1).alias("kind")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("eid"), F.lit(0).alias("kind")
+    )
+    unioned = clicks.unionByName(purchases)
+    # Descending time scan: at equal ts, purchases (kind 0) must come
+    # AFTER clicks in scan order so "at-or-after" is inclusive, and
+    # same-ts purchases resolve to the LOWEST id — matching the
+    # oracle's ORDER BY p.ts ASC, p.event_id ASC pick.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("kind").desc(), F.col("eid").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "purchase_id",
+        F.last(F.when(F.col("kind") == 0, F.col("eid")), ignorenulls=True).over(w),
+    ).withColumn(
+        "purchase_ts",
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.filter((F.col("kind") == 1) & F.col("purchase_id").isNotNull())
+        .select(
+            F.col("eid").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            "purchase_id",
+            "purchase_ts",
+        )
+    )

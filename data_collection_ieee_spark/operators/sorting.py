@@ -119,3 +119,23 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus",
         F.year("l_shipdate").alias("ship_year"),
     ).distinct()
+
+
+@query(
+    "set_union",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+UNION
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
+""",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct set union (UNION vs the engine's append-style UNION ALL
+    elsewhere): union then one hash-distinct shuffle."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    seg = cu.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    pend = od.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return seg.union(pend).distinct()

@@ -197,3 +197,29 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@query(
+    "win_percent_rank_cume",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank windows: percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rank/n) — exact rational formulas over integer ranks, so
+    doubles agree bit-for-bit across engines. Total order via the
+    (price, key) tie-break."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
