@@ -158,3 +158,73 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batches,
         schema="doc_id bigint, n_bytes bigint, byte_mean double, byte_entropy double",
     )
+
+
+_AUDIO_WIN = 64  # bytes per analysis window (tumbling)
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle=f"""
+WITH lists AS (
+  SELECT doc_id,
+         [substr(text, 1 + j * {_AUDIO_WIN}, {_AUDIO_WIN})
+          for j in range(0, (length(text) + {_AUDIO_WIN} - 1) // {_AUDIO_WIN})] AS wins
+  FROM documents
+),
+exploded AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(wins, 1) - 1 AS INT) AS win_no,
+         unnest(wins) AS win
+  FROM lists
+),
+scored AS (
+  SELECT doc_id, win_no,
+         CAST(length(win) AS INT) AS win_len,
+         CAST(list_sum([ord(substr(win, i, 1)) for i in range(1, length(win) + 1)]) AS BIGINT)
+           AS energy
+  FROM exploded
+)
+SELECT doc_id, win_no, win_len, energy,
+       round(CAST(energy AS DOUBLE) / win_len, 4) AS mean_level
+FROM scored
+""",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed signal-energy extraction (the audio-analysis pattern):
+    tumbling fixed-size windows over the opaque payload, one integer
+    energy per window — computed entirely in-row (sequence + aggregate,
+    no shuffle), with the window explode as the only row expansion.
+    The byte-sum stands in for a real sample-decode (see _fake_decode's
+    stub note); window shape, indexing, and exactness are the real
+    design. Integer energies agree with the oracle exactly; the mean
+    level is one double division + round."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_wins = F.ceil(F.length("text") / F.lit(_AUDIO_WIN)).cast("int")
+    exploded = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_wins - 1)).alias("win_no"),
+        "text",
+    )
+    # let-bind the window substring so it is cut once per row, not
+    # re-evaluated inside every energy-fold step
+    wins = exploded.select(
+        "doc_id",
+        "win_no",
+        F.expr(
+            f"""
+            element_at(transform(array(substring(text, 1 + win_no * {_AUDIO_WIN}, {_AUDIO_WIN})),
+              w -> struct(
+                cast(length(w) as int) AS win_len,
+                aggregate(sequence(1, length(w)), cast(0 as bigint),
+                          (acc, i) -> acc + ascii(substring(w, i, 1))) AS energy)
+            ), 1)
+            """
+        ).alias("s"),
+    )
+    return wins.select(
+        "doc_id",
+        "win_no",
+        F.col("s.win_len").alias("win_len"),
+        F.col("s.energy").alias("energy"),
+    ).withColumn("mean_level", F.round(F.col("energy").cast("double") / F.col("win_len"), 4))

@@ -257,3 +257,53 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.withColumn(
         "vocab_group_size", F.count("*").over(Window.partitionBy("vocab_fp"))
     )
+
+
+_TOP_NGRAMS = 5
+
+
+@query(
+    "text_ngram_freq",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT lang, unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS bigram
+  FROM toks
+),
+counted AS (
+  SELECT lang, bigram, COUNT(*) AS n FROM grams GROUP BY lang, bigram
+),
+ranked AS (
+  SELECT lang, bigram, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS rnk
+  FROM counted
+)
+SELECT lang, bigram, n, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_TOP_NGRAMS}
+""",
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigrams per language — the n-gram frequency table corpus
+    analysis starts from. Bigrams are built in-row (slide over the
+    token array), counted with one map-side-combined shuffle, and the
+    per-language top-N comes from a window over the small counted
+    frame with a deterministic (count desc, bigram asc) tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> concat_ws(' ', element_at(split(text, ' '), i),"
+                " element_at(split(text, ' '), i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    counted = grams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _TOP_NGRAMS)
+    )
