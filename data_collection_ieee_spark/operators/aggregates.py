@@ -387,3 +387,27 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qs")[3].alias("p95"),
         )
     )
+
+
+@query(
+    "agg_bool_countif",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       bool_and(l_quantity > 0) AS all_positive_qty,
+       bool_or(l_discount >= 0.10) AS any_deep_discount,
+       CAST(SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tax_free
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates: count_if, every (bool_and), any
+    (bool_or), and a CASE-sum — all map-side combinable, all exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.every(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.some(F.col("l_discount") >= 0.10).alias("any_deep_discount"),
+        F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0)).alias("n_tax_free"),
+    )
