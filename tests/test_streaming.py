@@ -102,3 +102,33 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     cols = ["user_id", "click_id", "purchase_id", "c_ts", "p_ts"]
     assert _key_rows(batch, cols) == _key_rows(streamed, cols)
     assert len(batch) > 0  # non-vacuous: the fixture must produce pairs
+
+
+def test_foreach_batch_sink_exactly_once(spark, sf_dir, tmp_path):
+    """The idempotent foreachBatch sink must (a) deliver every source
+    row exactly once across micro-batches and (b) skip re-delivered
+    batches instead of duplicating or clobbering."""
+    from data_collection_ieee_spark.streaming import stateful
+
+    out = str(tmp_path / "sink")
+    events = parity.read_events_stream(spark, sf_dir, n_files=3, files_per_trigger=1)
+    q = (
+        stateful.idempotent_parquet_sink(events.select("event_id", "user_id"), out)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    n_src = load_table(spark, sf_dir, "events").count()
+    sunk = spark.read.option("basePath", out).parquet(out + "/batch=*")
+    assert sunk.count() == n_src
+    assert sunk.select("event_id").distinct().count() == n_src
+    # simulate an at-least-once re-delivery of batch 0 with DIFFERENT
+    # (truncated) content: the commit marker must make it a no-op
+    import os
+
+    batch0 = spark.read.parquet(os.path.join(out, "batch=0"))
+    n0 = batch0.count()
+    assert os.path.exists(os.path.join(out, "_committed_0"))
+    stateful.make_batch_writer(out)(batch0.limit(1), 0)  # replayed delivery
+    assert spark.read.parquet(os.path.join(out, "batch=0")).count() == n0
