@@ -283,3 +283,68 @@ def date_series_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return days.join(counts, ["event_type", "d"], "left").select(
         "event_type", "d", F.coalesce("n", F.lit(0)).alias("n")
     )
+
+
+@query(
+    "map_transform_funcs",
+    oracle="""
+WITH m AS (
+  SELECT event_id, event_type,
+         MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)} AS meta
+  FROM events
+)
+SELECT event_id, event_type,
+       CAST(map_extract(meta, 'uid')[1] AS BIGINT) AS uid_back,
+       CAST(cardinality(meta) AS INT) AS n_keys,
+       list_sort(map_keys(meta)) AS keys_sorted
+FROM m
+""",
+)
+def map_transform_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction and access: build a map column from scalar
+    fields, read it back by key, count and list its keys — the typed-
+    metadata pattern multimodal columns carry beside their payloads.
+    All JVM map expressions; keys_sorted makes the only set-valued
+    output deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.element_at(m, "uid").cast("long").alias("uid_back"),
+        F.size(m).alias("n_keys"),
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+    )
+
+
+@query(
+    "date_arith_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS d,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+       CAST(date_part('dow', o_orderdate) + 1 AS INT) AS dow,
+       CAST(date_part('doy', o_orderdate) AS INT) AS doy
+FROM orders
+""",
+)
+def date_arith_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic beyond date_funcs' basics: month-preserving
+    add, month-end snap, quarter truncation, day-of-week/year — the
+    fiscal-calendar toolkit, all codegen'd."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter_start"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+    )
