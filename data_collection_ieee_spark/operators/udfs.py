@@ -89,7 +89,7 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_pandas",
     oracle="""
 SELECT event_type,
-       round(exp(AVG(ln(value))), 6) AS geo_mean_value,
+       round(exp(AVG(CASE WHEN value > 0 THEN ln(value) END)), 6) AS geo_mean_value,
        COUNT(*) AS n
 FROM events
 GROUP BY event_type
@@ -97,12 +97,16 @@ GROUP BY event_type
 )
 def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-agg pandas UDF: geometric mean (exp∘mean∘log) — an
-    aggregate Spark has no built-in for. Rounded to 6: log-sum error
-    across engines is ~1e-12 on these magnitudes."""
+    aggregate Spark has no built-in for. Defined over POSITIVE values
+    only (the standard domain: ln(0) is undefined, and sf0.1 contains
+    zero-valued events); `n` still counts every row. Rounded to 6:
+    log-sum error across engines is ~1e-12 on these magnitudes."""
 
     @F.pandas_udf("double")
     def geo_mean(v: pd.Series) -> float:
-        return float(np.round(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()), 6))
+        x = v.to_numpy(dtype=np.float64)
+        x = x[x > 0]
+        return float(np.round(np.exp(np.log(x).mean()), 6))
 
     ev = load_table(spark, sf_dir, "events")
     # Spark forbids mixing a grouped-agg pandas UDF with JVM aggregates
