@@ -271,3 +271,60 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query(
+    "pipeline_curate_corpus",
+    oracle=f"""
+WITH deduped AS (
+  SELECT doc_id, lang, source, text,
+         ROW_NUMBER() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS copy_rank
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, lang, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM deduped
+  WHERE copy_rank = 1
+    AND len(string_split(text, ' ')) BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
+    AND {_SQL_DOC_BUCKET} < ({_SPARK_RATE})
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS sum_tokens,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM kept
+GROUP BY lang, source
+""",
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE composed query — what a
+    training-data run actually executes: exact dedup (keep the lowest
+    doc_id per content hash) → token-length quality gate → per-language
+    stratified sample → per-(lang, source) corpus manifest. Composition
+    is the point: each stage is the already-verified operator logic,
+    fused by Catalyst into window + filter + aggregate with the narrow
+    stages pipelined — no materialization between steps. At 100 TB
+    this one plan replaces a 4-job orchestration with its 3
+    intermediate tables."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    copy_rank = F.row_number().over(
+        W.partitionBy(F.md5(F.lower("text").cast("binary"))).orderBy("doc_id")
+    )
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    kept = (
+        docs.withColumn("copy_rank", copy_rank)
+        .filter(F.col("copy_rank") == 1)
+        .withColumn("n_tokens", n_tokens)
+        .filter(F.col("n_tokens").between(_MIN_TOKENS, _MAX_TOKENS))
+        .filter(F.expr(_SPARK_DOC_BUCKET) < F.expr(_SPARK_RATE))
+    )
+    return kept.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

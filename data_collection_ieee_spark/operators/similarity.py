@@ -154,13 +154,14 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline is asserted in tests/test_similarity.py).
 
     Index: coarse centroids = mean of vectors per (vec_id % 16) bucket
-    — deterministic, no RNG — then each vector is assigned to its
-    nearest centroid (inverted lists). Search: score the probe against
-    centroids, scan only the N_PROBE closest lists. At 100 TB the
+    — deterministic, no RNG — collected to the driver (16 × 64 floats;
+    this IS the broadcast centroid table every IVF implementation
+    ships to workers) and embedded as literals. Assignment is then one
+    narrow in-row argmin — no crossJoin, no per-vector window. Search:
+    the probe's N_PROBE nearest lists are computed driver-side from
+    the same 16 rows, and only those lists are scanned. At 100 TB the
     inverted lists are the partition keys: a query touches N_PROBE
-    partitions instead of the full corpus, and the centroid table is a
-    broadcast. Here the same plan runs with DataFrame ops end to end.
-    """
+    partitions instead of the full corpus."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -168,48 +169,62 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- build: deterministic coarse centroids (JVM-side mean per bucket)
     dim_idx = list(range(64))
     bucketed = emb.withColumn("bucket", (F.col("vec_id") % N_CENTROIDS).cast("int"))
-    cent = bucketed.groupBy("bucket").agg(
-        F.array(
-            *[F.avg(F.element_at("embedding", i + 1)).alias(f"c{i}") for i in dim_idx]
-        ).alias("centroid")
+    cent_rows = (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.array(
+                *[F.avg(F.element_at("embedding", i + 1)).alias(f"c{i}") for i in dim_idx]
+            ).alias("centroid")
+        )
+        .collect()
+    )
+    cents = np.zeros((N_CENTROIDS, 64))
+    for r in cent_rows:
+        cents[r["bucket"]] = np.asarray(r["centroid"], dtype=np.float64)
+    cent_norms = np.linalg.norm(cents, axis=1)
+
+    # --- assign: one Arrow-batched matmul against the centroid matrix
+    # (numpy closure ships the 16×64 table to every task — the literal
+    # "broadcast centroid table" of an IVF index); argmax picks the
+    # lowest bucket on ties
+    def assign_batches(batches):
+        for pdf in batches:
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            cos = (m @ cents.T) / (
+                np.linalg.norm(m, axis=1)[:, None] * cent_norms[None, :] + 1e-300
+            )
+            out = pdf[["vec_id", "label", "embedding"]].copy()
+            out["list_id"] = cos.argmax(axis=1).astype("int32")
+            yield out
+
+    assigned = bucketed.select("vec_id", "label", "embedding").mapInPandas(
+        assign_batches,
+        schema="vec_id bigint, label int, embedding array<float>, list_id int",
     )
 
-    # --- assign: nearest centroid per vector (broadcast join, argmin)
-    assigned = (
-        bucketed.crossJoin(F.broadcast(cent.select(F.col("bucket").alias("cb"), "centroid")))
-        .withColumn("dist", -_cosine(F.col("embedding"), F.col("centroid")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                __import__("pyspark.sql.window", fromlist=["Window"])
-                .Window.partitionBy("vec_id")
-                .orderBy(F.col("dist").asc(), F.col("cb").asc())
+    # --- search: probe → N_PROBE nearest lists, computed driver-side
+    probe_vec = np.asarray(
+        emb.filter(F.col("vec_id") == PROBE_VEC_ID).first()["embedding"],
+        dtype=np.float64,
+    )
+    pcos = (cents @ probe_vec) / (cent_norms * np.linalg.norm(probe_vec) + 1e-300)
+    probe_lists = [int(b) for b in np.argsort(-pcos, kind="stable")[:N_PROBE]]
+    probe_lit = F.array(*[F.lit(float(x)) for x in probe_vec])
+
+    candidates = assigned.filter(
+        F.col("list_id").isin(probe_lists) & (F.col("vec_id") != PROBE_VEC_ID)
+    )
+    scored = candidates.select(
+        "vec_id",
+        "label",
+        F.round(
+            _dot(F.col("embedding"), probe_lit)
+            / (
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                * F.lit(float(np.linalg.norm(probe_vec)))
             ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", F.col("cb").alias("list_id"))
-    )
-
-    # --- search: probe vector → N_PROBE nearest lists → scan those only
-    probe = emb.filter(F.col("vec_id") == PROBE_VEC_ID).select(
-        F.col("embedding").alias("probe_emb")
-    )
-    probe_lists = (
-        cent.crossJoin(F.broadcast(probe))
-        .withColumn("pdist", -_cosine(F.col("centroid"), F.col("probe_emb")))
-        .orderBy(F.col("pdist").asc(), F.col("bucket").asc())
-        .limit(N_PROBE)
-        .select(F.col("bucket").alias("list_id"))
-    )
-    candidates = assigned.join(F.broadcast(probe_lists), "list_id")
-    scored = (
-        candidates.filter(F.col("vec_id") != PROBE_VEC_ID)
-        .crossJoin(F.broadcast(probe))
-        .select(
-            "vec_id",
-            "label",
-            F.round(_cosine(F.col("embedding"), F.col("probe_emb")), 4).alias("cos_sim"),
-        )
+            4,
+        ).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(TOP_K)
 
