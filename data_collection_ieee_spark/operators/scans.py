@@ -139,3 +139,52 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lang").isin("fr", "de"))
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+_BLOB_DIR = os.path.join(tempfile.gettempdir(), "dcis_scratch", "blob_fixture")
+_N_BLOBS = 100
+
+
+def _ensure_blob_fixture() -> str:
+    """Deterministic binary fixture files (created once per machine):
+    the same bytes are read by Spark's binaryFile source and DuckDB's
+    read_blob, making binary ingestion differentially checkable."""
+    if not os.path.isdir(_BLOB_DIR) or len(os.listdir(_BLOB_DIR)) != _N_BLOBS:
+        os.makedirs(_BLOB_DIR, exist_ok=True)
+        for i in range(_N_BLOBS):
+            with open(os.path.join(_BLOB_DIR, f"doc_{i:04d}.bin"), "wb") as f:
+                f.write((f"payload-{i}-" * (i + 1)).encode("ascii"))
+    return _BLOB_DIR
+
+
+_ensure_blob_fixture()
+
+
+@query(
+    "scan_binaryfile",
+    oracle=f"""
+SELECT CAST(regexp_extract(filename, 'doc_(\\d+)\\.bin', 1) AS BIGINT) AS blob_id,
+       CAST(size AS BIGINT) AS n_bytes,
+       md5(CAST(content AS VARCHAR)) AS content_md5
+FROM read_blob('{_BLOB_DIR}/*.bin')
+""",
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-payload ingestion via the binaryFile source — the front
+    door for multimodal data (images/audio land as whole files): one
+    row per file with (path, length, bytes), id recovered from the
+    filename, content fingerprinted. The format never decodes anything
+    and parallelizes by file; pathGlobFilter prunes non-media files at
+    listing time. Differentially checked byte-for-byte against DuckDB's
+    read_blob over the same fixture directory."""
+    _ensure_blob_fixture()
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(_BLOB_DIR)
+    )
+    return df.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1).cast("long").alias("blob_id"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
