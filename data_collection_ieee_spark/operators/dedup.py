@@ -1,20 +1,24 @@
 """Deduplication operators — the north-star LLM-data-pipeline surface.
 
-Five levels, each a `queries()` entry over the `documents` table:
+Six levels, each a `queries()` entry over the `documents` table:
 
 - `dedup_exact_key`      exact content dedup via hash-groupBy (argmin keeper)
-- `dedup_ngram_jaccard`  exact near-dup pairs: word-trigram shingles +
-                         inverted-index join + integer-exact Jaccard
-- `dedup_minhash_lsh`    MinHash (128 perms) + LSH banding (32×4) candidate
-                         join, then exact-Jaccard verification — same result
-                         set as the exact oracle (banding params put recall
-                         at ~1-5e-8 at the 0.8 threshold)
+- `dedup_ngram_jaccard`  exact near-dup pairs: word-trigram shingle hashes +
+                         postings count-join + integer-exact Jaccard
+- `dedup_minhash_lsh`    MinHash (128 perms, Arrow-vectorized) + LSH banding
+                         (32×4) candidate join, then exact-Jaccard
+                         verification — same result set as the exact oracle
+                         (banding params put miss probability at ~5e-8 at
+                         the 0.8 threshold)
 - `dedup_simhash`        60-bit SimHash from a cross-engine md5-derived
-                         token hash; pigeonhole-bucketed hamming join
-                         (hamming ≤ 3 over 4 chunks ⇒ ≥ 1 exact chunk
-                         match — EXACT, no recall loss)
+                         token hash, folded in-row; pigeonhole-bucketed
+                         hamming join (hamming ≤ 3 over 4 chunks ⇒ ≥ 1
+                         exact chunk match — EXACT, no recall loss)
 - `dedup_embed_cosine`   embedding-cosine near-dup via broadcast-matrix
                          numpy block product (Arrow-batched mapInPandas)
+- `dedup_cluster_assign` connected-component cluster labels over the exact
+                         pair graph (iterative min-label propagation;
+                         recursive-CTE oracle)
 
 Reference lineage: the reference's implied dedup key is the canonical
 DOI (its two encodings 'DOI: 10.…' / 'https://doi.org/10.…' — see
@@ -34,7 +38,6 @@ Scale notes (the whole point of the designs):
 
 from __future__ import annotations
 
-import math
 from typing import Iterator
 
 import pandas as pd
