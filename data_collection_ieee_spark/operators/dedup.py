@@ -174,7 +174,7 @@ def _verified_pairs(candidates: DataFrame, sh: DataFrame) -> DataFrame:
 @query("dedup_ngram_jaccard", oracle=_SQL_JACCARD_PAIRS)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs at trigram-shingle Jaccard ≥ 0.8 via an
-    inverted-index join with PREFIX FILTERING (AllPairs/PPJoin family):
+    inverted-index count-join:
 
     Postings are the 64-bit per-shingle hashes computed once in
     _shingles_df (8-byte join keys, not strings). The self-join emits
