@@ -141,7 +141,7 @@ def _fake_decode(payload: bytes) -> dict:
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract pipeline over opaque payloads via
     Arrow-batched mapInPandas (rows-only check; determinism asserted in
-    tests/test_multimodal.py). The batch shape, schema, and partitioning
+    tests/test_llm_ops.py). The batch shape, schema, and partitioning
     are the real 100 TB design — only the codec inside `_fake_decode`
     is a stub."""
     docs = load_table(spark, sf_dir, "documents")

@@ -151,7 +151,7 @@ N_PROBE = 4
 @query("sim_ann_ivf")
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (rows-only check; recall vs the exact
-    baseline is asserted in tests/test_similarity.py).
+    baseline is asserted in tests/test_llm_ops.py).
 
     Index: coarse centroids = mean of vectors per (vec_id % 16) bucket
     — deterministic, no RNG — collected to the driver (16 × 64 floats;
