@@ -156,8 +156,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Index: coarse centroids = mean of vectors per (vec_id % 16) bucket
     — deterministic, no RNG — collected to the driver (16 × 64 floats;
     this IS the broadcast centroid table every IVF implementation
-    ships to workers) and embedded as literals. Assignment is then one
-    narrow in-row argmin — no crossJoin, no per-vector window. Search:
+    ships to workers). Assignment is one Arrow-batched numpy matmul
+    per batch — no crossJoin, no per-vector window, no shuffle. Search:
     the probe's N_PROBE nearest lists are computed driver-side from
     the same 16 rows, and only those lists are scanned. At 100 TB the
     inverted lists are the partition keys: a query touches N_PROBE
