@@ -348,3 +348,40 @@ def date_arith_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("o_orderdate").alias("dow"),
         F.dayofyear("o_orderdate").alias("doy"),
     )
+
+
+@query(
+    "array_zip_funcs",
+    oracle="""
+WITH v AS (
+  SELECT vec_id,
+         [round(CAST(x AS DOUBLE), 4) for x in embedding[1:4]] AS head4,
+         [round(CAST(x AS DOUBLE), 4) for x in embedding[61:64]] AS tail4
+  FROM embeddings
+)
+SELECT vec_id,
+       [round(head4[i] + tail4[i], 4) for i in range(1, 5)] AS zipped_sum,
+       flatten([head4, tail4]) AS merged,
+       list_reverse(head4) AS head_rev
+FROM v
+""",
+)
+def array_zip_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array combinators over vector slices: element-wise zip_with sum,
+    flatten of an array-of-arrays, and reverse — the building blocks
+    the engine's vector expressions (dot products, signatures) are made
+    of, exposed as their own checked surface. All in-row, no shuffle;
+    floats are rounded per element on both engines before comparison."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    r4 = lambda c: F.round(c.cast("double"), 4)  # noqa: E731
+    head4 = F.transform(F.slice("embedding", 1, 4), r4)
+    tail4 = F.transform(F.slice("embedding", 61, 4), r4)
+    v = emb.select("vec_id", head4.alias("head4"), tail4.alias("tail4"))
+    return v.select(
+        "vec_id",
+        F.transform(
+            F.zip_with("head4", "tail4", lambda x, y: x + y), lambda s: F.round(s, 4)
+        ).alias("zipped_sum"),
+        F.flatten(F.array("head4", "tail4")).alias("merged"),
+        F.reverse("head4").alias("head_rev"),
+    )
