@@ -411,3 +411,35 @@ def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.some(F.col("l_discount") >= 0.10).alias("any_deep_discount"),
         F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0)).alias("n_tax_free"),
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+WITH wide AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+  FROM documents
+)
+SELECT doc_id, metric, value
+FROM wide UNPIVOT (value FOR metric IN (n_chars, n_tokens, n_uniq))
+""",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the wide→long inverse of `agg_pivot`, used to
+    turn per-document feature columns into a (doc_id, metric, value)
+    observation table for feature stores and plotting layers. The
+    metric list is pinned, so this is a pure in-row expand (each input
+    row emits exactly 3 output rows, no shuffle) and the output schema
+    is static regardless of how many documents flow through."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    wide = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+    )
+    return wide.unpivot(["doc_id"], ["n_chars", "n_tokens", "n_uniq"], "metric", "value")

@@ -307,3 +307,61 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= _TOP_NGRAMS)
     )
+
+
+@query(
+    "text_pii_redact",
+    oracle=r"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 <> 0
+              THEN 'contact user' || CAST(doc_id AS VARCHAR) || '@example.com ' ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+              THEN 'call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ELSE '' END
+         || substr(text, 1, 40) AS raw
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+                      '\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '\d{3}-\d{4}')) AS INT) AS n_phones
+FROM seeded
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction stage every training-data pipeline
+    runs before release. The synthetic corpus carries no natural PII,
+    so the query first plants deterministic email/phone strings (same
+    construction in the oracle), then scrubs them with chained
+    regexp_replace and counts matches per class. Pure in-row JVM regex:
+    no shuffle, scales linearly, and the patterns are the
+    Java-regex/RE2 common subset so both engines agree byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email_pat = r"[a-z0-9.]+@[a-z0-9.]+\.[a-z]+"
+    phone_pat = r"\d{3}-\d{4}"
+    raw = F.concat(
+        F.when(
+            did % 3 != 0,
+            F.concat(F.lit("contact user"), did.cast("string"), F.lit("@example.com ")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit("call 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" "),
+            ),
+        ).otherwise(F.lit("")),
+        F.substring("text", 1, 40),
+    )
+    seeded = docs.select("doc_id", raw.alias("raw"))
+    return seeded.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("raw", email_pat, "<EMAIL>"), phone_pat, "<PHONE>"
+        ).alias("redacted"),
+        F.regexp_count("raw", F.lit(email_pat)).cast("int").alias("n_emails"),
+        F.regexp_count("raw", F.lit(phone_pat)).cast("int").alias("n_phones"),
+    )
