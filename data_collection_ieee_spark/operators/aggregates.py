@@ -443,3 +443,31 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
     )
     return wide.unpivot(["doc_id"], ["n_chars", "n_tokens", "n_uniq"], "metric", "value")
+
+
+@query(
+    "agg_median_exact",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS med_qty,
+       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 4) AS p90_qty,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS med_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) per group — the
+    precise counterpart of `agg_approx_quantiles`. Spark's `percentile`
+    is a sort-based exact aggregate; at 100 TB the approx sketch is the
+    default path and this is the audited spot-check, so both live in
+    the surface. Interpolation (percentile_cont semantics) is the same
+    linear formula on both engines; outputs rounded to 4 places."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    price = F.col("l_extendedprice").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(qty, F.lit(0.5)), 4).alias("med_qty"),
+        F.round(F.percentile(qty, F.lit(0.9)), 4).alias("p90_qty"),
+        F.round(F.percentile(price, F.lit(0.5)), 4).alias("med_price"),
+    )

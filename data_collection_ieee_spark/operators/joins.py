@@ -395,3 +395,31 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_ts",
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+WITH c AS (SELECT c_custkey, c_name, nullif(c_nationkey % 7, 3) AS grp FROM customer),
+     n AS (SELECT n_nationkey, n_name, nullif(n_nationkey % 7, 3) AS grp FROM nation)
+SELECT c.c_custkey, c.c_name, n.n_nationkey, n.n_name
+FROM c JOIN n ON c.grp IS NOT DISTINCT FROM n.grp
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — the semantics entity-
+    resolution joins need when the join key is itself nullable. The
+    synthetic nullable key is derived identically on both engines
+    (nullif of a mod bucket). Still a hash-equi join for Catalyst (the
+    null bucket is just one more key), and the nation side is tiny so
+    the planner broadcasts it — no shuffle of the big side by key."""
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.nullif(F.col("c_nationkey") % 7, F.lit(3)).alias("grp")
+    )
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", F.nullif(F.col("n_nationkey") % 7, F.lit(3)).alias("grp")
+    )
+    return cu.join(na, cu.grp.eqNullSafe(na.grp)).select(
+        "c_custkey", "c_name", "n_nationkey", "n_name"
+    )

@@ -128,3 +128,30 @@ def test_ann_hyperplane_recall_vs_exact(spark, sf_dir):
     # in the probe's bucket neighborhood — recall must beat the ~0.3%
     # random-scan floor by a wide margin
     assert recall >= 0.25, f"hyperplane-LSH recall {recall:.2f}"
+
+
+def test_pii_redact_leaves_no_residual_pii(spark, sf_dir):
+    import re
+
+    rows = _rows("text_pii_redact", spark, sf_dir)
+    email = re.compile(r"[a-z0-9.]+@[a-z0-9.]+\.[a-z]+")
+    phone = re.compile(r"\d{3}-\d{4}")
+    planted = 0
+    for r in rows:
+        assert not email.search(r["redacted"]), r
+        assert not phone.search(r["redacted"]), r
+        # counts reflect the deterministic planting rule
+        assert r["n_emails"] == (1 if r["doc_id"] % 3 != 0 else 0)
+        assert r["n_phones"] == (1 if r["doc_id"] % 2 == 0 else 0)
+        planted += r["n_emails"] + r["n_phones"]
+    assert planted > 0  # the fixture construction actually planted PII
+
+
+def test_unpivot_shape_and_inverse_consistency(spark, sf_dir):
+    rows = _rows("agg_unpivot", spark, sf_dir)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["metric"]] = r["value"]
+    for doc_id, m in by_doc.items():
+        assert set(m) == {"n_chars", "n_tokens", "n_uniq"}, doc_id
+        assert m["n_uniq"] <= m["n_tokens"] <= m["n_chars"], (doc_id, m)
