@@ -471,3 +471,25 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(qty, F.lit(0.9)), 4).alias("p90_qty"),
         F.round(F.percentile(price, F.lit(0.5)), 4).alias("med_price"),
     )
+
+
+@query("agg_sketch_reaggregate")
+def agg_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level HLL sketch re-aggregation — the 100 TB distinct-count
+    pattern: each shard builds a Datasketches HLL of its users
+    (hll_sketch_agg, map-side, constant memory), then the per-type
+    rollup merges the binary sketches (hll_union_agg) and estimates.
+    At scale level 1 runs where the data lives and only kilobyte
+    sketches cross the wire; the merge is associative so the same
+    sketches also roll up to coarser grains without rescanning. No SQL
+    oracle (sketch binaries are engine-specific); the tolerance vs the
+    exact distinct count is asserted in tests/test_llm_ops.py."""
+    ev = load_table(spark, sf_dir, "events")
+    shard = (F.col("user_id") % 8).alias("shard")
+    partials = ev.groupBy("event_type", shard).agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    return (
+        partials.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("int").alias("approx_users"))
+    )

@@ -131,3 +131,107 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id
+)
+SELECT CAST(count(t1.t1) AS INT) AS n_view,
+       CAST(count(t2.t2) AS INT) AS n_click,
+       CAST(count(t3.t3) AS INT) AS n_purchase,
+       round(CAST(sum(epoch_us(CAST(t2.t2 AS TIMESTAMP)) - epoch_us(CAST(t1.t1 AS TIMESTAMP))) AS DOUBLE)
+             / count(t2.t2) / 1e6, 4) AS avg_view_to_click_s,
+       round(CAST(sum(epoch_us(CAST(t3.t3 AS TIMESTAMP)) - epoch_us(CAST(t2.t2 AS TIMESTAMP))) AS DOUBLE)
+             / count(t3.t3) / 1e6, 4) AS avg_click_to_purchase_s
+FROM t1
+LEFT JOIN t2 ON t1.user_id = t2.user_id
+LEFT JOIN t3 ON t2.user_id = t3.user_id
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): each stage counts users
+    whose stage-N event strictly follows their stage-(N-1) time, plus
+    mean stage-to-stage latency. Three per-user min aggregations chained
+    by equi-joins — all shuffles key on user_id, so AQE co-locates the
+    chain into one exchange of the events scan per stage filter, and
+    each stage's frame shrinks monotonically. Latency means are exact
+    integer-microsecond sums divided once (order-independent on both
+    engines), then rounded."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    fun = t1.join(t2, "user_id", "left").join(t3, "user_id", "left")
+    d12 = F.unix_micros("t2") - F.unix_micros("t1")
+    d23 = F.unix_micros("t3") - F.unix_micros("t2")
+    return fun.agg(
+        F.count("t1").cast("int").alias("n_view"),
+        F.count("t2").cast("int").alias("n_click"),
+        F.count("t3").cast("int").alias("n_purchase"),
+        F.round(F.sum(d12).cast("double") / F.count("t2") / F.lit(1e6), 4).alias(
+            "avg_view_to_click_s"
+        ),
+        F.round(F.sum(d23).cast("double") / F.count("t3") / F.lit(1e6), 4).alias(
+            "avg_click_to_purchase_s"
+        ),
+    )
+
+
+@query(
+    "events_retention_cohort",
+    oracle="""
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.d) AS INT) AS offset_d,
+       CAST(count(*) AS INT) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY f.cohort_day, offset_d
+""",
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users are bucketed by first-seen day,
+    then each (cohort, day-offset) cell counts users active that day.
+    The user-day dedup happens before the join (distinct on the two
+    join-relevant columns only), so the join input is already minimal;
+    both shuffles key on user_id and the final rollup is a small
+    hash aggregate over (date, int) pairs regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        active.join(first, "user_id")
+        .select("cohort_day", F.datediff("d", "cohort_day").cast("int").alias("offset_d"))
+        .groupBy("cohort_day", "offset_d")
+        .agg(F.count("*").cast("int").alias("n_users"))
+    )

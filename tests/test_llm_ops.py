@@ -155,3 +155,16 @@ def test_unpivot_shape_and_inverse_consistency(spark, sf_dir):
     for doc_id, m in by_doc.items():
         assert set(m) == {"n_chars", "n_tokens", "n_uniq"}, doc_id
         assert m["n_uniq"] <= m["n_tokens"] <= m["n_chars"], (doc_id, m)
+
+
+def test_sketch_reaggregate_matches_exact_within_tolerance(spark, sf_dir):
+    merged = {
+        r["event_type"]: r["approx_users"]
+        for r in _rows("agg_sketch_reaggregate", spark, sf_dir)
+    }
+    exact = {
+        r["event_type"]: r["n_users"] for r in _rows("agg_count_distinct", spark, sf_dir)
+    }
+    assert set(merged) == set(exact)
+    for k, e in exact.items():
+        assert abs(merged[k] - e) <= max(2, 0.05 * e), (k, merged[k], e)
