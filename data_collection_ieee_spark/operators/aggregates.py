@@ -493,3 +493,28 @@ def agg_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         partials.groupBy("event_type")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("int").alias("approx_users"))
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(count(*) AS INT) AS n
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): collect_list
+    gives no ordering guarantee under parallel merge, so the engine's
+    deterministic form is collect → array_sort → array_join — the sort
+    happens per group after the shuffle, making the concatenation
+    reproducible on any partitioning. Bounded-size groups only (here
+    the 25-nation dimension); unbounded groups should aggregate, not
+    concatenate."""
+    na = load_table(spark, sf_dir, "nation")
+    return na.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count("*").cast("int").alias("n"),
+    )

@@ -223,3 +223,46 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), g AS (
+  SELECT user_id, d,
+         date_diff('day', DATE '2024-01-01', d)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM ud
+), s AS (
+  SELECT user_id, grp, count(*) AS len FROM g GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(max(len) AS INT) AS max_streak_days,
+       CAST(count(*) AS INT) AS n_streaks
+FROM s
+GROUP BY user_id
+""",
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of consecutive active days per
+    user. The island key is the classic date-ordinal minus row_number
+    trick — constant within a consecutive run, strictly different
+    across gaps — so streaks fall out of two hash aggregates after one
+    window pass. Every step keys on user_id, so the whole chain rides
+    a single exchange; the user-day dedup up front keeps the window
+    input minimal. row_number is deterministic because (user_id, d) is
+    unique after the dedup."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = ud.select(
+        "user_id",
+        (F.datediff("d", F.lit("2024-01-01").cast("date")) - F.row_number().over(w)).alias("grp"),
+    )
+    s = g.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return s.groupBy("user_id").agg(
+        F.max("len").cast("int").alias("max_streak_days"),
+        F.count("*").cast("int").alias("n_streaks"),
+    )
