@@ -423,3 +423,70 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.join(na, cu.grp.eqNullSafe(na.grp)).select(
         "c_custkey", "c_name", "n_nationkey", "n_name"
     )
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+WITH t AS (
+  SELECT c_custkey, c_name, round(CAST(c_acctbal AS DOUBLE), 2) AS bal, c_mktsegment
+  FROM customer
+), u AS (
+  SELECT c_custkey, c_name, round(CAST(c_acctbal AS DOUBLE) + 100, 2) AS bal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW-' || c_name, 0.0, 'NEW'
+  FROM customer WHERE c_custkey % 97 = 0
+)
+SELECT coalesce(u.c_custkey, t.c_custkey) AS c_custkey,
+       coalesce(u.c_name, t.c_name) AS c_name,
+       coalesce(u.bal, t.bal) AS bal,
+       coalesce(u.c_mktsegment, t.c_mktsegment) AS mktsegment,
+       CASE WHEN t.c_custkey IS NULL THEN 'insert'
+            WHEN u.c_custkey IS NULL THEN 'keep'
+            ELSE 'update' END AS action
+FROM t FULL JOIN u ON t.c_custkey = u.c_custkey
+""",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / SCD-type-1 upsert semantics as a pure DataFrame
+    plan: target FULL OUTER JOIN source on the business key, coalesce
+    source-over-target per column, and tag each row insert/update/keep.
+    The source here is derived deterministically from the target itself
+    (mod-bucket updates + shifted-key inserts) so both engines build
+    the identical changeset. At scale this is the lakehouse merge
+    pattern minus the transactional commit: the join keys on the
+    business key, so bucketing target and source alike makes it
+    shuffle-free, and the unchanged majority streams through the
+    coalesce projection untouched."""
+    t = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("bal"),
+        "c_mktsegment",
+    )
+    updates = t.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("bal") + 100, 2).alias("bal"),
+        "c_mktsegment",
+    )
+    inserts = t.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW-"), F.col("c_name")).alias("c_name"),
+        F.lit(0.0).alias("bal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    u = updates.unionByName(inserts)
+    tt, uu = t.alias("t"), u.alias("u")
+    j = tt.join(uu, F.col("t.c_custkey") == F.col("u.c_custkey"), "full_outer")
+    return j.select(
+        F.coalesce("u.c_custkey", "t.c_custkey").alias("c_custkey"),
+        F.coalesce("u.c_name", "t.c_name").alias("c_name"),
+        F.coalesce("u.bal", "t.bal").alias("bal"),
+        F.coalesce("u.c_mktsegment", "t.c_mktsegment").alias("mktsegment"),
+        F.when(F.col("t.c_custkey").isNull(), "insert")
+        .when(F.col("u.c_custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
