@@ -50,7 +50,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # Driver data stores ts as TIMESTAMP(NANOS) → read as long nanos;
+        # fixture tables may write plain TIMESTAMP(MICROS) → already usable.
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
     return spark.read.parquet(path)
 
 

@@ -371,12 +371,14 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     unioned = clicks.unionByName(purchases)
     # Descending time scan: at equal ts, purchases (kind 0) must come
-    # AFTER clicks in scan order so "at-or-after" is inclusive, and
-    # same-ts purchases resolve to the LOWEST id — matching the
-    # oracle's ORDER BY p.ts ASC, p.event_id ASC pick.
+    # BEFORE clicks in scan order (kind ASC) so the click's preceding
+    # frame contains the same-ts purchase and "at-or-after" is
+    # inclusive; eid DESC makes F.last carry the LOWEST purchase id of
+    # an equal-ts group — matching the oracle's ORDER BY p.ts ASC,
+    # p.event_id ASC pick.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").desc(), F.col("kind").desc(), F.col("eid").desc())
+        .orderBy(F.col("ts").desc(), F.col("kind").asc(), F.col("eid").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn(

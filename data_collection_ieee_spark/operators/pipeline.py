@@ -144,7 +144,7 @@ b AS (
 n AS (SELECT COUNT(*) AS total FROM t)
 SELECT CAST(bin_lo AS BIGINT) AS bin_lo,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS sum_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
        round(CAST(COUNT(*) AS DOUBLE) / MAX(n.total), 6) AS doc_share
 FROM b, n
 GROUP BY bin_lo
@@ -160,14 +160,16 @@ def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(n_tokens / _HIST_BIN).cast("long") * _HIST_BIN).alias("bin_lo"),
         n_tokens.alias("n_tokens"),
     )
-    total = binned.count()  # scalar; at scale use a broadcast scalar subquery
+    total = binned.agg(F.count("*").alias("total"))  # 1-row aggregate, broadcast
     return (
         binned.groupBy("bin_lo")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("sum_tokens"),
         )
-        .withColumn("doc_share", F.round(F.col("n_docs") / F.lit(total), 6))
+        .crossJoin(F.broadcast(total))
+        .withColumn("doc_share", F.round(F.col("n_docs") / F.col("total"), 6))
+        .drop("total")
     )
 
 
@@ -177,7 +179,7 @@ def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH g AS (
   SELECT source, lang,
          COUNT(*) AS n_docs,
-         SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sum_tokens
+         CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS sum_tokens
   FROM documents GROUP BY source, lang
 )
 SELECT source, lang, n_docs, sum_tokens,
@@ -232,7 +234,7 @@ c AS (
 SELECT source,
        CAST((cum - n_tokens) // {_CTX_LEN} AS BIGINT) AS pack_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS pack_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM c
@@ -291,7 +293,7 @@ kept AS (
 )
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS sum_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
        MIN(doc_id) AS min_doc,
        MAX(doc_id) AS max_doc
 FROM kept

@@ -125,8 +125,8 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_orderkey, l_linenumber,
        round(l_extendedprice, 1) AS price_r1,
        abs(l_discount - 0.05) AS disc_dev,
-       floor(l_quantity) AS qty_floor,
-       ceil(l_extendedprice / 1000) AS price_kilo,
+       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+       CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_kilo,
        CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
        CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
 FROM lineitem
@@ -225,7 +225,7 @@ def explode_outer_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "str_edit_distance",
     oracle="""
 SELECT p_partkey,
-       levenshtein(p_name, p_type) AS lev,
+       CAST(levenshtein(p_name, p_type) AS BIGINT) AS lev,
        CAST(length(p_name) AS INT) AS len_name
 FROM part
 """,
@@ -238,7 +238,7 @@ def str_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.levenshtein("p_name", "p_type").alias("lev"),
+        F.levenshtein("p_name", "p_type").cast("long").alias("lev"),
         F.length("p_name").cast("int").alias("len_name"),
     )
 

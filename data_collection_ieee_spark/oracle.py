@@ -32,16 +32,20 @@ def oracle_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def canon_cell(v) -> str:
     if v is None:
         return "∅"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "true" if v else "false"
     if isinstance(v, float):
         if math.isnan(v):
-            return "∅"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))  # 3.0 vs 3 across engines
-        return repr(v)
+            return "NaN"  # distinct from NULL: a NaN-vs-NULL drift must fail
+        if math.isinf(v):
+            return "+inf" if v > 0 else "-inf"
+        return repr(v)  # shortest round-trip; NO int collapse (3.0 != 3)
     if isinstance(v, Decimal):
-        return canon_cell(float(v))
-    if isinstance(v, bool):
-        return str(int(v))
+        if v.is_nan():
+            return "NaN"
+        # exact decimal canonical form, no lossy float round-trip; tagged
+        # so a decimal-vs-double drift fails locally like it would driver-side
+        return f"dec:{v.normalize()}"
     if isinstance(v, int):
         return str(v)
     if isinstance(v, dt.datetime):
@@ -64,6 +68,44 @@ def canon_rows(cols, rows) -> list[tuple[str, ...]]:
     return sorted(tuple(canon_cell(r[i]) for i in order) for r in rows)
 
 
+# Numeric families: the driver's value hash serializes by physical type,
+# so an int-width or int-vs-float-vs-decimal drift fails driver-side even
+# when the values are numerically equal (seen round 1: DuckDB widening
+# SUM(BIGINT) to HUGEINT). Mirror that strictness here via DESCRIBE.
+_DUCK_INT_WIDTH = {"TINYINT": 8, "SMALLINT": 16, "INTEGER": 32, "BIGINT": 64}
+_SPARK_INT_WIDTH = {"tinyint": 8, "smallint": 16, "int": 32, "bigint": 64}
+_DUCK_FLOAT = {"FLOAT", "REAL", "DOUBLE"}
+_SPARK_FLOAT = {"float", "double"}
+
+
+def oracle_type_problems(spark_df, con: duckdb.DuckDBPyConnection, oracle: str) -> list[str]:
+    """Flag physical-type drift between the Spark schema and the DuckDB
+    oracle's output schema that would break the driver's value hash:
+    HUGEINT anywhere, int-width mismatch, int/float/decimal family swap."""
+    try:
+        desc = con.execute(f"DESCRIBE (\n{oracle}\n)").fetchall()
+    except Exception as e:  # noqa: BLE001
+        return [f"DESCRIBE failed: {e}"]
+    duck_types = {r[0]: r[1].upper() for r in desc}
+    spark_types = dict(spark_df.dtypes)
+    problems = []
+    for col, dt_ in duck_types.items():
+        if "HUGEINT" in dt_:
+            problems.append(f"oracle col {col} is {dt_} — CAST(... AS BIGINT) it")
+            continue
+        st = spark_types.get(col)
+        if st is None or "[" in dt_ or "(" in dt_ or st.startswith(("array", "map", "struct", "decimal")):
+            continue  # nested/decimal widths checked by value canon, not here
+        dw, sw = _DUCK_INT_WIDTH.get(dt_), _SPARK_INT_WIDTH.get(st)
+        if dw is not None or sw is not None:
+            if dw != sw:
+                problems.append(f"col {col}: oracle {dt_} vs spark {st} (int-width/family drift)")
+            continue
+        if (dt_ in _DUCK_FLOAT) != (st in _SPARK_FLOAT):
+            problems.append(f"col {col}: oracle {dt_} vs spark {st} (float-family drift)")
+    return problems
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, oracle: str) -> list[str]:
     """Return a list of problems (empty = equivalent)."""
     spark_cols = spark_df.columns
@@ -72,7 +114,7 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, oracle: str) -> list[str]:
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
 
-    problems: list[str] = []
+    problems: list[str] = list(oracle_type_problems(spark_df, con, oracle))
     if sorted(spark_cols) != sorted(duck_cols):
         problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
     if len(spark_rows) != len(duck_rows):
