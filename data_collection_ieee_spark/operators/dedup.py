@@ -14,8 +14,10 @@ Six levels, each a `queries()` entry over the `documents` table:
                          token hash, folded in-row; pigeonhole-bucketed
                          hamming join (hamming ≤ 3 over 4 chunks ⇒ ≥ 1
                          exact chunk match — EXACT, no recall loss)
-- `dedup_embed_cosine`   embedding-cosine near-dup via broadcast-matrix
-                         numpy block product (Arrow-batched mapInPandas)
+- `dedup_embed_cosine`   embedding-cosine near-dup via IVF-sharded block
+                         matmul: centroid assignment + triangle-inequality
+                         list-pair pruning (exact) + per-list-pair
+                         applyInPandas blocks — no driver collect
 - `dedup_cluster_assign` connected-component cluster labels over the exact
                          pair graph (iterative min-label propagation;
                          recursive-CTE oracle)
@@ -32,8 +34,9 @@ Scale notes (the whole point of the designs):
   banding join touches only colliding buckets. This is the 100 TB path.
 - simhash: hamming-≤-k search via chunk pigeonholing is an equi-join —
   no quadratic scan — and stays exact.
-- embed cosine: at test scale a broadcast numpy product; at 100 TB you
-  shard the index (IVF — see similarity.sim_ann_ivf for the pattern).
+- embed cosine: IVF list sharding with an exactness-preserving angular
+  triangle-inequality prune on list pairs; compute is per-list-pair
+  block matmuls, distributed and driver-collect-free at any scale.
 """
 
 from __future__ import annotations
@@ -427,38 +430,124 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """,
 )
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.45) via a broadcast
-    numpy block product: the full (n×64 float64) matrix rides to every
-    task as a broadcast (~1 MB at bench scale), and each Arrow batch of
-    rows does one matmul against it — no per-pair object churn, no
-    driver-side loop. At 100 TB you shard this with an IVF index
-    (similarity.sim_ann_ivf shows the pattern); the per-block matmul
-    kernel is identical."""
+    """Embedding-cosine near-dup pairs (cos ≥ 0.45), EXACT, with no
+    driver-side collect of the table and no full-matrix broadcast —
+    the 100 TB shape of exact all-pairs search:
+
+    1. 16 deterministic coarse centroids (mean per vec_id%16 bucket;
+       the only collect is 16×64 doubles — the IVF centroid table).
+    2. Each vector gets a list_id via one Arrow-batched matmul, plus
+       its cosine to its own centroid.
+    3. List pairs are PRUNED by the triangle inequality on angles:
+       a pair (u∈i, v∈j) with angle(u,v) ≤ θ_thr requires
+       angle(cᵢ,cⱼ) ≤ θ_thr + rᵢ + rⱼ (rₗ = list angular radius), so
+       dropping list pairs that violate the bound loses NOTHING —
+       unlike plain IVF blocking this stays exact, and on genuinely
+       clustered corpora (the real dedup case) it prunes most of the
+       O(K²) list pairs.
+    4. Each surviving list pair is one `applyInPandas` group: a block
+       matmul of the two lists (upper triangle for self-pairs). Every
+       qualifying pair is scored in exactly one group, so no
+       dedup/distinct pass is needed. Compute is distributed across
+       list pairs; per-task memory is two lists (sub-block the lists
+       by vec_id%S for a finer grain at extreme list sizes).
+
+    Oracle: the exact all-pairs threshold join — this plan must and
+    does reproduce it bit-for-bit at the 4-decimal rounding."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    pdf = emb.toPandas()  # index build: bench-scale broadcast, see docstring
-    ids = np.asarray(pdf["vec_id"].values, dtype=np.int64)
-    mat = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
-    norms = np.linalg.norm(mat, axis=1)
-    sc = spark.sparkContext
-    b_ids, b_mat, b_norms = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(norms)
+    n_lists = 16
     thr = COSINE_DUP_THRESHOLD
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def block_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
+    # --- 1. deterministic centroids (tiny collect: 16 rows)
+    cent_rows = (
+        emb.withColumn("bucket", (F.col("vec_id") % n_lists).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.array(
+                *[F.avg(F.element_at("embedding", i + 1)) for i in range(64)]
+            ).alias("centroid")
+        )
+        .collect()
+    )
+    cents = np.zeros((n_lists, 64))
+    for r in cent_rows:
+        cents[r["bucket"]] = np.asarray(r["centroid"], dtype=np.float64)
+    cent_norms = np.linalg.norm(cents, axis=1) + 1e-300
+
+    # --- 2. assign lists (Arrow matmul; the 16×64 table ships in the closure)
+    def assign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_in in batches:
-            q_ids = np.asarray(pdf_in["vec_id"].values, dtype=np.int64)
-            q = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf_in["embedding"]])
-            qn = np.linalg.norm(q, axis=1)
-            cos = (q @ all_mat.T) / np.outer(qn, all_norms)
-            cos_r = np.round(cos, 4)
-            qi, ci = np.nonzero((cos_r >= thr) & (q_ids[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {"a_id": q_ids[qi], "b_id": all_ids[ci], "cos_sim": cos_r[qi, ci]}
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf_in["embedding"]])
+            cos = (m @ cents.T) / (
+                np.linalg.norm(m, axis=1)[:, None] * cent_norms[None, :] + 1e-300
             )
+            out = pdf_in[["vec_id", "embedding"]].copy()
+            out["list_id"] = cos.argmax(axis=1).astype("int32")
+            out["own_cos"] = cos.max(axis=1)
+            yield out
 
-    return emb.mapInPandas(block_pairs, schema="a_id bigint, b_id bigint, cos_sim double")
+    assigned = emb.mapInPandas(
+        assign_batches,
+        schema="vec_id bigint, embedding array<float>, list_id int, own_cos double",
+    ).persist()
+
+    # --- 3. list radii (tiny collect: ≤16 rows) → admissible list pairs
+    radii_rows = assigned.groupBy("list_id").agg(F.min("own_cos").alias("c")).collect()
+    radius = {r["list_id"]: float(np.arccos(np.clip(r["c"], -1.0, 1.0))) for r in radii_rows}
+    theta_thr = float(np.arccos(thr))
+    cc = (cents @ cents.T) / np.outer(cent_norms, cent_norms)
+    live = sorted(radius)
+    admissible = []  # (pair_id, member_list, side): 'a'/'b' roles, 's' = self
+    pid = 0
+    for ii, i in enumerate(live):
+        for j in live[ii:]:
+            ang = float(np.arccos(np.clip(cc[i, j], -1.0, 1.0)))
+            if ang > theta_thr + radius[i] + radius[j]:
+                continue  # triangle inequality: no qualifying pair can span i,j
+            if i == j:
+                admissible.append((pid, i, "s"))
+            else:
+                admissible.append((pid, i, "a"))
+                admissible.append((pid, j, "b"))
+            pid += 1
+    pairs_df = spark.createDataFrame(
+        admissible, schema="pair_id int, member_list int, side string"
+    )
+
+    # --- 4. per-list-pair block matmul
+    rep = assigned.join(
+        F.broadcast(pairs_df), assigned.list_id == pairs_df.member_list
+    ).select("pair_id", "side", "vec_id", "embedding")
+
+    def block_pairs(pdf_in: pd.DataFrame) -> pd.DataFrame:
+        is_self = (pdf_in["side"] == "s").any()
+        a = pdf_in if is_self else pdf_in[pdf_in["side"] == "a"]
+        b = pdf_in if is_self else pdf_in[pdf_in["side"] == "b"]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
+            )
+        a_ids = a["vec_id"].to_numpy(dtype="int64")
+        b_ids = b["vec_id"].to_numpy(dtype="int64")
+        ma = np.vstack([np.asarray(v, dtype=np.float64) for v in a["embedding"]])
+        mb = np.vstack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        cos = (ma @ mb.T) / (
+            np.outer(np.linalg.norm(ma, axis=1), np.linalg.norm(mb, axis=1)) + 1e-300
+        )
+        cos_r = np.round(cos, 4)
+        ai, bi = np.nonzero((cos_r >= thr) & (a_ids[:, None] != b_ids[None, :]))
+        lo = np.minimum(a_ids[ai], b_ids[bi])
+        hi = np.maximum(a_ids[ai], b_ids[bi])
+        out = pd.DataFrame({"a_id": lo, "b_id": hi, "cos_sim": cos_r[ai, bi]})
+        if is_self:  # self block scores each unordered pair twice
+            out = out[a_ids[ai] < b_ids[bi]]
+        return out
+
+    return rep.groupBy("pair_id").applyInPandas(
+        block_pairs, schema="a_id bigint, b_id bigint, cos_sim double"
+    )
 
 
 @query(
@@ -527,9 +616,14 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
+        # the count above materialized new_labels, so the superseded
+        # round's cache can go — keeps executor storage at ≤2 label
+        # tables however many rounds convergence takes
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels.withColumn(
         "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
     )

@@ -355,12 +355,12 @@ def date_arith_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH v AS (
   SELECT vec_id,
-         [round(CAST(x AS DOUBLE), 4) for x in embedding[1:4]] AS head4,
-         [round(CAST(x AS DOUBLE), 4) for x in embedding[61:64]] AS tail4
+         [round(CAST(x AS DOUBLE), 4) + 0.0 for x in embedding[1:4]] AS head4,
+         [round(CAST(x AS DOUBLE), 4) + 0.0 for x in embedding[61:64]] AS tail4
   FROM embeddings
 )
 SELECT vec_id,
-       [round(head4[i] + tail4[i], 4) for i in range(1, 5)] AS zipped_sum,
+       [round(head4[i] + tail4[i], 4) + 0.0 for i in range(1, 5)] AS zipped_sum,
        flatten([head4, tail4]) AS merged,
        list_reverse(head4) AS head_rev
 FROM v
@@ -371,16 +371,19 @@ def array_zip_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     flatten of an array-of-arrays, and reverse — the building blocks
     the engine's vector expressions (dot products, signatures) are made
     of, exposed as their own checked surface. All in-row, no shuffle;
-    floats are rounded per element on both engines before comparison."""
+    floats are rounded per element on both engines before comparison
+    (with `+ 0.0` to collapse signed zero: Spark's round drops the sign
+    of -0.0, DuckDB's keeps it)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    r4 = lambda c: F.round(c.cast("double"), 4)  # noqa: E731
+    r4 = lambda c: F.round(c.cast("double"), 4) + F.lit(0.0)  # noqa: E731
     head4 = F.transform(F.slice("embedding", 1, 4), r4)
     tail4 = F.transform(F.slice("embedding", 61, 4), r4)
     v = emb.select("vec_id", head4.alias("head4"), tail4.alias("tail4"))
     return v.select(
         "vec_id",
         F.transform(
-            F.zip_with("head4", "tail4", lambda x, y: x + y), lambda s: F.round(s, 4)
+            F.zip_with("head4", "tail4", lambda x, y: x + y),
+            lambda s: F.round(s, 4) + F.lit(0.0),
         ).alias("zipped_sum"),
         F.flatten(F.array("head4", "tail4")).alias("merged"),
         F.reverse("head4").alias("head_rev"),

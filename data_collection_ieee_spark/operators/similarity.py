@@ -49,7 +49,7 @@ WITH probe AS (SELECT embedding FROM embeddings WHERE vec_id = {PROBE_VEC_ID}),
 scored AS (
   SELECT e.vec_id, e.label,
          round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                      CAST(p.embedding AS DOUBLE[])), 4) AS cos_sim
+                                      CAST(p.embedding AS DOUBLE[])), 4) + 0.0 AS cos_sim
   FROM embeddings e, probe p
   WHERE e.vec_id <> {PROBE_VEC_ID}
 )
@@ -76,7 +76,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(_cosine(F.col("embedding"), F.col("probe_emb")), 4).alias("cos_sim"),
+            (F.round(_cosine(F.col("embedding"), F.col("probe_emb")), 4) + F.lit(0.0)).alias(
+                "cos_sim"
+            ),
         )
     )
     topk = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(TOP_K)
@@ -97,50 +99,65 @@ WITH pairs AS (
 )
 SELECT same_label,
        COUNT(*) AS n_pairs,
-       round(AVG(c), 6) AS avg_cos
+       round(AVG(c), 6) + 0.0 AS avg_cos
 FROM pairs
 GROUP BY same_label
 """,
 )
 def sim_pairwise_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean intra-label vs inter-label cosine over all pairs, computed
-    as a broadcast numpy block product (one matmul per Arrow batch —
-    about n²/batch FLOPs in BLAS, no per-pair JVM object churn). The
-    average is rounded to 6 decimals; summation-order error for |cos|≤1
-    over these pair counts is ~1e-12, far inside the rounding bucket."""
-    import numpy as np
+    """Mean intra-label vs inter-label cosine — WITHOUT materializing a
+    single pair. For unit vectors û, Σ_{i<j} û_i·û_j = (‖Σû‖² − n)/2,
+    so the mean pairwise cosine inside any group is an O(n·d) aggregate
+    over normalized vectors:
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    pdf = emb.toPandas()  # broadcast index build (bench scale: ~1 MB)
-    ids = np.asarray(pdf["vec_id"].values, dtype=np.int64)
-    labels = np.asarray(pdf["label"].values, dtype=np.int64)
-    mat = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
-    norms = np.linalg.norm(mat, axis=1)
-    sc = spark.sparkContext
-    b = sc.broadcast((ids, labels, mat, norms))
+      intra  = Σ_labels (‖S_L‖² − n_L)/2      S_L = Σ û within label L
+      total  = (‖S‖² − N)/2                   S   = Σ û over everything
+      inter  = total − intra
 
-    def block_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_labels, all_mat, all_norms = b.value
-        for pdf_in in batches:
-            q_ids = np.asarray(pdf_in["vec_id"].values, dtype=np.int64)
-            q_labels = np.asarray(pdf_in["label"].values, dtype=np.int64)
-            q = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf_in["embedding"]])
-            qn = np.linalg.norm(q, axis=1)
-            cos = (q @ all_mat.T) / np.outer(qn, all_norms)
-            mask = q_ids[:, None] < all_ids[None, :]
-            same = q_labels[:, None] == all_labels[None, :]
-            out = []
-            for flag in (True, False):
-                m = mask & (same == flag)
-                out.append((flag, int(m.sum()), float(cos[m].sum())))
-            yield pd.DataFrame(out, columns=["same_label", "n_pairs", "sum_cos"])
+    Plan: normalize JVM-side, posexplode to (label, dim, component),
+    one map-side-combined groupBy(label, dim) sum, then two tiny
+    aggregates — no toPandas, no O(n²) anything, no Python in the path.
+    The pair counts are exact integers (DIV), and the 6-decimal rounding
+    bucket dwarfs the ~1e-12 float reassociation error."""
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    unit = F.transform(F.col("embedding"), lambda x: x.cast("double") / norm)
+    exploded = emb.select("label", F.posexplode(unit).alias("dim", "comp"))
+    per_label_dim = exploded.groupBy("label", "dim").agg(F.sum("comp").alias("s"))
 
-    partials = emb.mapInPandas(
-        block_stats, schema="same_label boolean, n_pairs bigint, sum_cos double"
+    per_label = per_label_dim.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("s2")
     )
-    return partials.groupBy("same_label").agg(
-        F.sum("n_pairs").alias("n_pairs"),
-        F.round(F.sum("sum_cos") / F.sum("n_pairs"), 6).alias("avg_cos"),
+    counts = emb.groupBy("label").agg(F.count("*").alias("n_l"))
+    intra = (
+        per_label.join(counts, "label")
+        .agg(
+            F.sum((F.col("s2") - F.col("n_l")) / 2).alias("intra_sum"),
+            F.sum(F.expr("n_l * (n_l - 1) DIV 2")).alias("intra_pairs"),
+        )
+    )
+    glob = (
+        per_label_dim.groupBy("dim")
+        .agg(F.sum("s").alias("g"))
+        .agg(F.sum(F.col("g") * F.col("g")).alias("g2"))
+    )
+    n_total = emb.agg(F.count("*").alias("n_tot"))
+
+    stats = intra.crossJoin(glob).crossJoin(n_total).select(
+        "intra_sum",
+        "intra_pairs",
+        ((F.col("g2") - F.col("n_tot")) / 2 - F.col("intra_sum")).alias("inter_sum"),
+        (
+            F.expr("n_tot * (n_tot - 1) DIV 2") - F.col("intra_pairs")
+        ).alias("inter_pairs"),
+    )
+    return stats.select(
+        F.expr(
+            """stack(2,
+                 true,  intra_pairs, round(intra_sum / intra_pairs, 6) + 0.0d,
+                 false, inter_pairs, round(inter_sum / inter_pairs, 6) + 0.0d
+               ) AS (same_label, n_pairs, avg_cos)"""
+        )
     )
 
 

@@ -49,6 +49,7 @@ def load_all() -> None:
     """Import every operator module so registrations run (idempotent)."""
     from data_collection_ieee_spark.operators import (  # noqa: F401
         aggregates,
+        articles_queries,
         dedup,
         joins,
         multimodal,

@@ -14,8 +14,10 @@ Reproduces the reference scrapers' data model exactly (SURVEY.md §1):
 - **merged**: the cross-source schema-drift union (11-col ∪ 9-col via
   unionByName(allowMissingColumns=True)) — one logical articles table.
 
-Sinks mirror A14/A15: header/UTF-8 CSV and JSON (JSON-lines — the
-distributed form of the reference's array dump, main.py:197-198).
+Sinks mirror A14/A15: header/UTF-8 CSV and JSON — both the distributed
+JSON-lines form and `write_json_array`, a size-guarded small-export
+sink byte-compatible with the reference's pretty-printed array dump
+(json.dump(..., ensure_ascii=False, indent=2), main.py:197-198).
 
 Scale: every step is a narrow projection; the union is metadata-only;
 sinks write one file per partition. Nothing here shuffles.
@@ -57,10 +59,10 @@ ACM_BRONZE_SCHEMA = T.StructType(
 DOI_PATTERN = r"(10\.\d{4,9}/[^\s]+)"
 
 
-def read_bronze_json(spark: SparkSession, path: str, source: str) -> DataFrame:
-    """Read a scraper JSON dump (array-of-objects, as the reference
-    writes with json.dump(..., indent=2) — hence multiLine) into the
-    bronze schema for `source` ('ieee' | 'acm')."""
+def read_bronze_json(spark: SparkSession, path, source: str) -> DataFrame:
+    """Read one or more scraper JSON dumps (array-of-objects, as the
+    reference writes with json.dump(..., indent=2) — hence multiLine)
+    into the bronze schema for `source` ('ieee' | 'acm')."""
     schema = IEEE_BRONZE_SCHEMA if source == "ieee" else ACM_BRONZE_SCHEMA
     return spark.read.schema(schema).option("multiLine", True).json(path)
 
@@ -79,8 +81,12 @@ def read_bronze_jsonl_permissive(
     reference ONLY the corrupt-record column against the raw file scan
     (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); caching
     materializes the parse once and makes any split legal."""
-    schema = IEEE_BRONZE_SCHEMA if source == "ieee" else ACM_BRONZE_SCHEMA
-    schema = schema.add("_corrupt_record", T.StringType(), True)
+    base = IEEE_BRONZE_SCHEMA if source == "ieee" else ACM_BRONZE_SCHEMA
+    # copy, don't .add() in place: StructType.add mutates the receiver,
+    # which would silently grow the shared module-level bronze schema
+    schema = T.StructType(
+        list(base.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
     return (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
@@ -162,3 +168,35 @@ def write_json(df: DataFrame, path: str) -> None:
     JSON-lines, unescaped unicode by default — the distributed
     equivalent of ensure_ascii=False, main.py:197-198)."""
     df.write.mode("overwrite").json(path)
+
+
+# A json.dump(indent=2) array is a single in-memory document — it cannot
+# be written distributed. This sink exists for byte-parity with the
+# reference's downstream consumers, which parse an ARRAY, not JSON-lines.
+JSON_ARRAY_MAX_ROWS = 100_000
+
+
+def write_json_array(df: DataFrame, path: str, columns=None) -> None:
+    """A15 exact-form sink: ONE pretty-printed JSON array, byte-identical
+    to the reference's `json.dump(results, f, ensure_ascii=False,
+    indent=2)` (main.py:197-198) for the same records.
+
+    This is deliberately a driver-side small-export path: the output
+    format is a single document, so there is nothing to distribute. The
+    guard caps the collect at JSON_ARRAY_MAX_ROWS and fails loudly past
+    it — for large exports use `write_json` (JSON-lines) and let the
+    consumer stream. `columns` fixes the key order (default: DataFrame
+    column order, which for bronze frames is the scraper's dict
+    insertion order)."""
+    import json
+
+    cols = list(columns) if columns is not None else df.columns
+    capped = df.select(*cols).limit(JSON_ARRAY_MAX_ROWS + 1).collect()
+    if len(capped) > JSON_ARRAY_MAX_ROWS:
+        raise ValueError(
+            f"write_json_array is a small-export sink (≤{JSON_ARRAY_MAX_ROWS} rows); "
+            "use write_json (JSON-lines) for large outputs"
+        )
+    records = [{c: row[c] for c in cols} for row in capped]
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(records, f, ensure_ascii=False, indent=2)

@@ -9,7 +9,7 @@ Reference behavior reproduced, re-architected for a cluster:
 | serial page loop, 1 browser (main.py:64) | seed DataFrame of page specs, fetched across partitions |
 | `time.sleep(n)` pacing (main.py:83,91,115) | per-partition token bucket (bounded per-host rate × #partitions) |
 | per-row try/except skip (main.py:117-123) | per-record parse guard, row dropped, batch continues |
-| results only saved at the very end (main.py:217 — crash loses all) | bronze checkpointed per task via Spark's atomic file commit; task retry re-fetches only its own partition |
+| results only saved at the very end (main.py:217 — crash loses all) | bronze committed incrementally per seed shard with marker files; a rerun skips committed shards and re-fetches only the rest |
 | `quote(query)` URL building (main.py:46) | same, driver-side when building seeds |
 
 Fetching is pluggable (`fetcher(url) -> html`): production would wrap an
@@ -146,14 +146,45 @@ def scrape(
 
 
 def scrape_to_bronze(
-    seeds: DataFrame, fetcher: FetcherFn, bronze_path: str, rate_per_sec: float = 10.0
+    seeds: DataFrame,
+    fetcher: FetcherFn,
+    bronze_path: str,
+    rate_per_sec: float = 10.0,
+    n_shards: int = 8,
 ) -> DataFrame:
-    """Scrape with durable bronze checkpointing — the fix for the
-    reference's lose-everything failure mode (results lived only in one
-    Python list until the final save, main.py:23,109,217). Each task's
-    output commits atomically; a crash loses at most in-flight tasks,
-    and re-running re-fetches only those."""
-    df = scrape(seeds, fetcher, rate_per_sec)
-    df.write.mode("overwrite").parquet(bronze_path)
+    """Scrape with INCREMENTALLY durable bronze checkpointing — the fix
+    for the reference's lose-everything failure mode (results lived only
+    in one Python list until the final save, main.py:23,109,217).
+
+    Seeds are split into `n_shards` stable shards (hash of url); each
+    shard is scraped and committed as its own parquet directory guarded
+    by a `_committed_<shard>` marker — the same marker protocol as
+    streaming.stateful.make_batch_writer. A crash loses at most the
+    in-flight shards (a single parquet write job is only job-atomic, so
+    one monolithic write would lose EVERYTHING uncommitted); re-running
+    the same call skips committed shards and re-fetches only the rest.
+    The driver loop is over shards (orchestration), never over rows."""
+    import os
+
     spark = seeds.sparkSession
-    return spark.read.parquet(bronze_path)
+    os.makedirs(bronze_path, exist_ok=True)
+    sharded = seeds.withColumn(
+        "_shard", F.pmod(F.xxhash64("url"), F.lit(n_shards)).cast("int")
+    )
+    for shard in range(n_shards):
+        marker = os.path.join(bronze_path, f"_committed_{shard}")
+        if os.path.exists(marker):
+            continue  # rerun: this shard is already durably scraped
+        shard_seeds = sharded.filter(F.col("_shard") == shard).drop("_shard")
+        if shard_seeds.limit(1).count() == 0:
+            with open(marker, "w"):
+                pass
+            continue
+        scrape(shard_seeds, fetcher, rate_per_sec).write.mode("overwrite").parquet(
+            os.path.join(bronze_path, f"shard={shard}")
+        )
+        with open(marker, "w"):
+            pass
+    return spark.read.parquet(os.path.join(bronze_path, "shard=*")).select(
+        *IEEE_COLUMNS
+    )

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Any, Iterable, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -44,10 +45,15 @@ def _update_user_state(
     n, cents, last_us = state.get if state.exists else (0, 0, None)
     for pdf in pdfs:
         n += len(pdf)
-        # money in integer cents: associative and exact, so totals are
-        # identical whatever the batch/arrival order (float += would
-        # drift with batching)
-        cents += int(round(float(pdf["value"].sum()) * 100))
+        # money in integer cents PER ROW before summing: each row's value
+        # is independently rounded to a fixed integer, so the total is
+        # associative and exact — invariant to how rows land in
+        # micro-batches (rounding a per-batch float sum would make batch
+        # boundaries observable: two batches at x.005 each round
+        # differently than one combined batch). HALF_UP away from zero,
+        # matching Spark's F.round, so batch vs stream agree bit-exactly.
+        v = pdf["value"].to_numpy(dtype="float64") * 100.0
+        cents += int((np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64").sum())
         ts_max = pdf["ts"].max()
         us = int(ts_max.value // 1000)  # pandas Timestamp ns -> µs
         last_us = us if last_us is None else max(last_us, us)

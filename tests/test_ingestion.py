@@ -159,3 +159,43 @@ def test_permissive_jsonl_quarantines_corrupt_records(spark, tmp_path):
         '{"titre": "broken, unterminated',
         "not json at all {{{{",
     }
+
+
+def test_json_array_export_golden_byte_parity(tmp_path, spark):
+    """A15 exact form: a bronze roundtrip of the reference's own array
+    dump re-serializes byte-identically (json.dump(..., ensure_ascii=
+    False, indent=2), reference main.py:197-198)."""
+    src = f"{REF_DATA}/ai_articles.json"
+    bronze = articles.read_bronze_json(spark, src, "ieee")
+    out = tmp_path / "roundtrip.json"
+    articles.write_json_array(bronze, str(out))
+    assert out.read_bytes() == open(src, "rb").read()
+
+
+def test_json_array_export_size_guard(tmp_path, spark):
+    import pyspark.sql.functions as SF
+
+    big = spark.range(5).select(SF.col("id"))
+    old = articles.JSON_ARRAY_MAX_ROWS
+    articles.JSON_ARRAY_MAX_ROWS = 3
+    try:
+        with pytest.raises(ValueError, match="small-export"):
+            articles.write_json_array(big, str(tmp_path / "x.json"))
+    finally:
+        articles.JSON_ARRAY_MAX_ROWS = old
+
+
+def test_articles_enrich_dims_joins(spark):
+    """A17 realized: both dimension joins enrich the merged table."""
+    from data_collection_ieee_spark.operators.articles_queries import (
+        articles_enrich_dims,
+    )
+
+    df = articles_enrich_dims(spark, "").cache()
+    assert df.count() == 140
+    # IEEE rows enrich via publisher→country, ACM rows via venue→quartile
+    assert df.filter(F.col("pays_dim") == "United States").count() > 0
+    assert df.filter(F.col("quartile_dim").isNotNull()).count() == 40
+    assert df.filter(
+        (F.col("indexation") == "ACM") & F.col("pays_dim").isNotNull()
+    ).count() == 0

@@ -45,10 +45,15 @@ def test_decode_features_deterministic(spark, sf_dir):
     a = sorted(map(tuple, _rows("multimodal_decode_features", spark, sf_dir)))
     b = sorted(map(tuple, _rows("multimodal_decode_features", spark, sf_dir)))
     assert a == b
-    for _, n_bytes, byte_mean, byte_entropy in a:
-        assert n_bytes > 0
-        assert 0.0 <= byte_mean <= 255.0
-        assert 0.0 <= byte_entropy <= 8.0
+    # the decoded header must be the real WAV header the encoder wrote,
+    # and the PCM features must be in range for 16-bit samples
+    for _, sample_rate, n_channels, sample_width, n_frames, rms, peak in a:
+        assert sample_rate == 8000
+        assert n_channels == 1
+        assert sample_width == 2
+        assert n_frames > 0
+        assert 0.0 <= rms <= 32768.0
+        assert 0 <= peak <= 32768
 
 
 def test_simhash_identical_docs_zero_hamming(spark, sf_dir):

@@ -81,13 +81,12 @@ def test_stateful_running_totals_across_microbatches(spark, sf_dir):
     fk = {r["user_id"]: (r["n_events"], r["last_ts"]) for r in final}
     bk = {r["user_id"]: (r["n_events"], r["last_ts"]) for r in batch}
     assert fk == bk
-    # cents totals: stateful sums per-batch pandas floats then rounds —
-    # allow ±1 cent per micro-batch of rounding slack vs the exact sum
+    # cents totals: both sides round each row to integer cents (HALF_UP,
+    # matching F.round) before summing, so totals must be bit-exact and
+    # invariant to micro-batch boundaries — no slack allowed
     fc = {r["user_id"]: r["cents"] for r in final}
     bc = {r["user_id"]: r["cents"] for r in batch}
-    assert set(fc) == set(bc)
-    for u in fc:
-        assert abs(fc[u] - bc[u]) <= 3, (u, fc[u], bc[u])
+    assert fc == bc
 
 
 def test_stream_stream_join_matches_batch(spark, sf_dir):
