@@ -115,35 +115,42 @@ def sim_pairwise_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
       inter  = total − intra
 
     Plan: normalize JVM-side, posexplode to (label, dim, component),
-    one map-side-combined groupBy(label, dim) sum, then two tiny
+    one map-side-combined groupBy(label, dim) sum+count, then two tiny
     aggregates — no toPandas, no O(n²) anything, no Python in the path.
-    The pair counts are exact integers (DIV), and the 6-decimal rounding
-    bucket dwarfs the ~1e-12 float reassociation error."""
+    The big table is scanned exactly ONCE: the per-(label, dim) frame
+    (labels × d rows) carries the vector count as the dim-0 row count,
+    and every downstream number (per-label sums, global sums, totals)
+    derives from that tiny persisted frame. The pair counts are exact
+    integers (DIV), and the 6-decimal rounding bucket dwarfs the
+    ~1e-12 float reassociation error."""
     emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     unit = F.transform(F.col("embedding"), lambda x: x.cast("double") / norm)
     exploded = emb.select("label", F.posexplode(unit).alias("dim", "comp"))
-    per_label_dim = exploded.groupBy("label", "dim").agg(F.sum("comp").alias("s"))
+    per_label_dim = (
+        exploded.groupBy("label", "dim")
+        .agg(F.sum("comp").alias("s"), F.count("*").alias("c"))
+        .persist()
+    )
 
     per_label = per_label_dim.groupBy("label").agg(
-        F.sum(F.col("s") * F.col("s")).alias("s2")
+        F.sum(F.col("s") * F.col("s")).alias("s2"),
+        # every vector contributes one component per dim, so the dim-0
+        # row count IS the vector count for the label
+        F.max(F.when(F.col("dim") == 0, F.col("c"))).alias("n_l"),
     )
-    counts = emb.groupBy("label").agg(F.count("*").alias("n_l"))
-    intra = (
-        per_label.join(counts, "label")
-        .agg(
-            F.sum((F.col("s2") - F.col("n_l")) / 2).alias("intra_sum"),
-            F.sum(F.expr("n_l * (n_l - 1) DIV 2")).alias("intra_pairs"),
-        )
+    intra = per_label.agg(
+        F.sum((F.col("s2") - F.col("n_l")) / 2).alias("intra_sum"),
+        F.sum(F.expr("n_l * (n_l - 1) DIV 2")).alias("intra_pairs"),
+        F.sum("n_l").alias("n_tot"),
     )
     glob = (
         per_label_dim.groupBy("dim")
         .agg(F.sum("s").alias("g"))
         .agg(F.sum(F.col("g") * F.col("g")).alias("g2"))
     )
-    n_total = emb.agg(F.count("*").alias("n_tot"))
 
-    stats = intra.crossJoin(glob).crossJoin(n_total).select(
+    stats = intra.crossJoin(glob).select(
         "intra_sum",
         "intra_pairs",
         ((F.col("g2") - F.col("n_tot")) / 2 - F.col("intra_sum")).alias("inter_sum"),
