@@ -41,12 +41,20 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Per-query error isolation: one red query must never take down the
+    # whole measurement run (round 3's bench died on the first
+    # AnalysisException and produced zero perf signal). Failures are
+    # recorded under "errors" and the summary always prints.
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(registry.QUERIES):
         t0 = time.time()
-        df = registry.QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.time() - t0, 3)
+        try:
+            df = registry.QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            per_query[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — isolate ANY query failure
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(per_query.values()), 3)
     full = {
@@ -54,6 +62,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "errors": errors,
         "sf": sf,
     }
     # Full per-query payload goes to bench_out.json (the 108-query dict
@@ -76,6 +85,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(per_query),
+        "n_errors": len(errors),
         "queries_full_file": "bench_out.json",
         "queries_omitted": 0,
         "queries": {},

@@ -34,27 +34,46 @@ TABLE_NAMES = (
 BROADCAST_DIMS = ("region", "nation")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-zoned TIMESTAMP regardless of
+    how the parquet writer encoded it. The driver has regenerated the
+    testdata with different encodings across rounds, so every one is a
+    first-class input, not a special case:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright;
+      with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long
+      nanoseconds → exact integer division to micros (the data is
+      microsecond-grained so nothing truncates).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads it as
+      TIMESTAMP_NTZ → cast to TIMESTAMP. The session timezone is pinned
+      UTC (session.py), so the cast is value-preserving and matches the
+      DuckDB oracle's naive-timestamp view of the same file.
+    - TIMESTAMP(MICROS, UTC): already ``timestamp`` — pass through.
+
+    All three are single JVM-side projections: no UDF, no extra pass,
+    scale-invariant.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one oracle table from the scale-factor directory.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright. We read it as raw long nanoseconds
-    (``spark.sql.legacy.parquet.nanosAsLong``, a runtime SQLConf) and
-    rebuild the timestamp with an exact integer division — the test data
-    is microsecond-grained so nothing truncates, and at any scale this
-    stays a single JVM-side projection (no UDF, no extra pass).
+    ``events.ts`` is normalized to TIMESTAMP across all parquet
+    timestamp encodings the driver has shipped (see
+    :func:`normalize_events_ts`).
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        # Driver data stores ts as TIMESTAMP(NANOS) → read as long nanos;
-        # fixture tables may write plain TIMESTAMP(MICROS) → already usable.
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
+        return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

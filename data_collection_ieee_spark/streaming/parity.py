@@ -20,15 +20,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_collection_ieee_spark.catalog import normalize_events_ts
 from data_collection_ieee_spark.functions.exact import dsum
-
-# Raw parquet schema of the events table: ts arrives as long nanos
-# (TIMESTAMP(NANOS) parquet type, read via nanosAsLong — same trick as
-# catalog.load_table, but readStream needs the schema spelled out).
-_EVENTS_RAW_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, "
-    "event_type string, value double, props string"
-)
 
 
 def read_events_stream(
@@ -43,35 +36,50 @@ def read_events_stream(
     would already have. With ``n_files > 1`` the table is split into
     that many files and ``files_per_trigger`` can force MULTIPLE
     micro-batches under availableNow — the way tests prove state
-    survives batch boundaries."""
+    survives batch boundaries.
+
+    readStream needs an explicit schema, but the driver has shipped
+    ``events.ts`` under three different parquet encodings across rounds
+    (nanos-long / NTZ-micros / UTC-micros), so the schema is taken from
+    a batch read of the source file — whatever Spark decodes it as under
+    the session's confs IS the stream schema — and the same
+    :func:`normalize_events_ts` projection as the batch catalog rebuilds
+    a proper TIMESTAMP. The stage dir is keyed on the source file's
+    (mtime, size) so regenerated testdata invalidates old stages instead
+    of silently pinning them.
+    """
     import shutil
     import tempfile
+
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(src).schema
 
     stage = os.path.join(
         tempfile.gettempdir(),
         "dcis_stream_stage",
-        f"{sf_dir.strip('/').replace('/', '_')}_{n_files}",
+        f"{sf_dir.strip('/').replace('/', '_')}_{n_files}"
+        f"_{int(st.st_mtime)}_{st.st_size}",
     )
     if not os.path.exists(stage):
         os.makedirs(stage, exist_ok=True)
         if n_files == 1:
-            shutil.copy(f"{sf_dir}/events.parquet", os.path.join(stage, "events.parquet"))
+            shutil.copy(src, os.path.join(stage, "events.parquet"))
         else:
             import pyarrow.parquet as pq
 
-            tbl = pq.read_table(f"{sf_dir}/events.parquet")
+            tbl = pq.read_table(src)
             step = (tbl.num_rows + n_files - 1) // n_files
             for i in range(n_files):
                 chunk = tbl.slice(i * step, step)
                 if chunk.num_rows:
                     pq.write_table(chunk, os.path.join(stage, f"events_{i:03d}.parquet"))
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA).format("parquet")
+    reader = spark.readStream.schema(raw_schema).format("parquet")
     if files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(files_per_trigger))
-    raw = reader.load(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_events_ts(reader.load(stage))
 
 
 def run_to_memory(
