@@ -13,9 +13,8 @@ Scale: all windows partition by a key (one shuffle on the partition
 key, then a sorted scan per partition) — no global single-partition
 window over table-sized data in this module. Global-order semantics
 (NTILE/DENSE_RANK in `win_ntile_dense`) are realized via
-range-repartition + per-partition offsets; the only unpartitioned
-windows run over tiny aggregates (≤32 partition counts, ≤|distinct
-segments| rows).
+range-repartition + per-partition rank offsets, with the ≤32-row
+offset/segment metadata collected once and embedded as literal maps.
 """
 
 from __future__ import annotations
@@ -162,73 +161,71 @@ def win_ntile_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHOUT the single-partition global window both would naively cost
     (the oracle keeps the naive form as the semantic spec).
 
-    Distributed global rank: range-repartition on the sort key, local
-    row_number per partition, then add each partition's cumulative
-    offset (a ≤32-row aggregate, windowed driver-free and broadcast
-    back). NTILE(k) is then pure arithmetic on (rank, n): the first
-    n%k tiles take ⌈n/k⌉ rows, the rest ⌊n/k⌋. DENSE_RANK over
-    c_mktsegment touches only the distinct segment values — a tiny
-    aggregate ranked and broadcast-joined back. Every shuffle here is
-    range- or hash-partitioned; no operator sees all rows in one task."""
+    Distributed global rank in ONE shuffled pass plus one tiny metadata
+    job: range-repartition on the sort key, then an eager ≤32×|segments|
+    row collect of per-partition-per-segment counts. From that the
+    driver derives (a) each range partition's cumulative rank offset and
+    (b) the DENSE_RANK of every distinct c_mktsegment — both embedded as
+    literal map expressions, so the main job is scan → range shuffle →
+    per-partition row_number → pure projection. No joins, no broadcast
+    subqueries (the r3 version built `offsets` as a broadcast-join
+    subquery over a second range shuffle — two sampling passes and the
+    dominant cost of the plan).
+
+    Cross-job consistency: both jobs materialize the same
+    `repartitionByRange` lineage; Spark's RangePartitioner samples with
+    a per-partition-index fixed seed (core/Partitioner.scala, `sketch`
+    seeds `byteswap32(idx ^ (shift << 16))`), so identical input splits
+    yield identical boundaries in both jobs and the collected counts
+    describe exactly the partitions the main job builds.
+
+    NTILE(k) is pure arithmetic on (rank, n): the first n%k tiles take
+    ⌈n/k⌉ rows, the rest ⌊n/k⌋ — integer-exact at any n. At 100 TB the
+    counts job is a map-side-combined aggregate collapsing to ≤32×|segs|
+    rows; no operator ever sees all rows in one task."""
     cu = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment"
     )
     ranged = cu.repartitionByRange(
         32, F.col("c_acctbal").desc(), F.col("c_custkey").asc()
     ).withColumn("_pid", F.spark_partition_id())
-    local = ranged.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy("_pid").orderBy(
-                F.col("c_acctbal").desc(), F.col("c_custkey").asc()
-            )
-        ),
-    )
-    # per-partition sizes -> cumulative offsets (≤32 rows; windowing a
-    # frame this small is free and happens executor-side)
-    offsets = (
-        ranged.groupBy("_pid")
-        .agg(F.count("*").alias("_cnt"))
-        .withColumn(
-            "_offset",
-            F.coalesce(
-                F.sum("_cnt").over(
-                    Window.orderBy("_pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .withColumn("_n", F.sum("_cnt").over(Window.partitionBy(F.lit(1))))
-    )
-    with_rank = local.join(F.broadcast(offsets), "_pid").withColumn(
-        "_rank", F.col("_rn") + F.col("_offset")
-    )
-    # NTILE(4) arithmetic: base = n DIV 4, rem = n % 4, the first rem
-    # tiles hold base+1 rows — integer-exact at any n
-    with_rank = (
-        with_rank.withColumn("_base", F.expr("_n DIV 4"))
-        .withColumn("_rem", F.col("_n") % 4)
-        .withColumn("_cut", F.col("_rem") * (F.col("_base") + 1))
-    )
+
+    rows = ranged.groupBy("_pid", "c_mktsegment").agg(F.count("*").alias("n")).collect()
+    cnts: dict[int, int] = {}
+    segs: set[str] = set()
+    for r in rows:
+        cnts[r["_pid"]] = cnts.get(r["_pid"], 0) + r["n"]
+        segs.add(r["c_mktsegment"])
+    n = sum(cnts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(cnts):
+        offsets[pid] = acc
+        acc += cnts[pid]
+    seg_rank = {s: i + 1 for i, s in enumerate(sorted(segs))}
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    smap = F.create_map(*[F.lit(x) for kv in seg_rank.items() for x in kv])
+
+    base, rem = n // 4, n % 4
+    cut = rem * (base + 1)
     quartile = F.expr(
-        """CAST(CASE WHEN _rank <= _cut
-                     THEN (_rank + _base) DIV (_base + 1)
-                     ELSE _rem + (_rank - _cut + _base - 1) DIV _base
+        f"""CAST(CASE WHEN _rank <= {cut}
+                     THEN (_rank + {base}) DIV ({base} + 1)
+                     ELSE {rem} + (_rank - {cut} + {base} - 1) DIV {base}
                 END AS INT)"""
     )
-
-    seg_rank = (
-        cu.select("c_mktsegment")
-        .distinct()
-        .withColumn(
-            "segment_rank", F.dense_rank().over(Window.orderBy("c_mktsegment"))
-        )
-    )
     return (
-        with_rank.withColumn("balance_quartile", quartile)
-        .join(F.broadcast(seg_rank), "c_mktsegment")
+        ranged.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy(
+                    F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+                )
+            ),
+        )
+        .withColumn("_rank", F.col("_rn") + omap[F.col("_pid")])
+        .withColumn("balance_quartile", quartile)
+        .withColumn("segment_rank", smap[F.col("c_mktsegment")].cast("int"))
         .select("c_custkey", "c_acctbal", "balance_quartile", "segment_rank")
     )
 
