@@ -118,34 +118,46 @@ def bronze_to_silver(bronze: DataFrame) -> DataFrame:
       NULL where it's free text like 'Publisher: IEEE'.
     Missing columns (ACM's pays/quartile) are added as NULL so one
     silver schema serves both sources.
+
+    Built as ONE select (not chained withColumn): a withColumn per
+    column re-analyzes the whole plan each time, and the 14-deep
+    projection chain per source was the dominant cost of every consumer
+    of this function (~1 s of analyzer time per action at any data
+    size). Single-projection form is semantically identical.
     """
-    df = bronze
-    for c in IEEE_COLUMNS:
-        if c in df.columns:
-            df = df.withColumn(c, F.nullif(F.trim(F.col(c)), F.lit("")))
-        else:
-            df = df.withColumn(c, F.lit(None).cast("string"))
-    doi_extracted = F.regexp_extract(F.col("doi"), DOI_PATTERN, 1)
-    return (
-        df.withColumn(
-            "doi_canonical", F.nullif(doi_extracted, F.lit(""))
+    present = set(bronze.columns)
+    silver = {
+        c: (
+            F.nullif(F.trim(F.col(c)), F.lit(""))
+            if c in present
+            else F.lit(None).cast("string")
         )
-        .withColumn(
-            "auteurs",
-            F.when(
-                F.col("chercheurs").isNotNull(), F.split("chercheurs", "; ")
-            ).otherwise(F.lit(None).cast(T.ArrayType(T.StringType()))),
-        )
-        .withColumn(
-            # try_to_date-like: ACM dates come as e.g. "01 June 2024"
-            # or ISO; non-dates (IEEE 'Publisher: IEEE') → NULL.
-            "pub_date",
-            F.coalesce(
-                F.try_to_timestamp(F.col("publication"), F.lit("dd MMMM yyyy")),
-                F.try_to_timestamp(F.col("publication"), F.lit("yyyy-MM-dd")),
-            ).cast("date"),
+        for c in IEEE_COLUMNS
+    }
+    cols = [expr.alias(name) for name, expr in silver.items()]
+    cols.append(
+        F.nullif(F.regexp_extract(silver["doi"], DOI_PATTERN, 1), F.lit("")).alias(
+            "doi_canonical"
         )
     )
+    chercheurs = silver["chercheurs"]
+    cols.append(
+        F.when(chercheurs.isNotNull(), F.split(chercheurs, "; "))
+        .otherwise(F.lit(None).cast(T.ArrayType(T.StringType())))
+        .alias("auteurs")
+    )
+    # try_to_date-like: ACM dates come as e.g. "01 June 2024" or ISO;
+    # non-dates (IEEE 'Publisher: IEEE') → NULL.
+    publication = silver["publication"]
+    cols.append(
+        F.coalesce(
+            F.try_to_timestamp(publication, F.lit("dd MMMM yyyy")),
+            F.try_to_timestamp(publication, F.lit("yyyy-MM-dd")),
+        )
+        .cast("date")
+        .alias("pub_date")
+    )
+    return bronze.select(*cols)
 
 
 def merge_sources(ieee_silver: DataFrame, acm_silver: DataFrame) -> DataFrame:
