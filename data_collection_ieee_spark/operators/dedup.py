@@ -598,29 +598,39 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .persist()
     )
+    cached = labels
     for _ in range(15):
-        prop = (
-            edges.join(labels, edges.v == labels.doc_id)
-            .select(F.col("u").alias("doc_id"), "cluster_id")
+        # Convergence detection rides INSIDE the propagation aggregate:
+        # each node's own row is tagged, so the same groupBy that takes
+        # the neighborhood min also recovers the node's previous label,
+        # and "did anything change" is a filter over the fresh cache —
+        # no separate old-vs-new join, no second scan of the label
+        # table per round.
+        prop = edges.join(labels, edges.v == labels.doc_id).select(
+            F.col("u").alias("doc_id"), "cluster_id", F.lit(False).alias("_self")
         )
-        new_labels = (
-            labels.unionByName(prop)
+        merged = (
+            labels.select("doc_id", "cluster_id", F.lit(True).alias("_self"))
+            .unionByName(prop)
             .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.min(F.when(F.col("_self"), F.col("cluster_id"))).alias("_old"),
+            )
+            .select(
+                "doc_id",
+                "cluster_id",
+                (F.col("cluster_id") < F.col("_old")).alias("_changed"),
+            )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        # the count above materialized new_labels, so the superseded
-        # round's cache can go — keeps executor storage at ≤2 label
-        # tables however many rounds convergence takes
-        labels.unpersist()
-        labels = new_labels
+        changed = merged.filter(F.col("_changed")).limit(1).count()
+        # the count above materialized merged, so the superseded round's
+        # cache can go — keeps executor storage at ≤2 label tables
+        # however many rounds convergence takes
+        cached.unpersist()
+        cached = merged
+        labels = merged.select("doc_id", "cluster_id")
         if changed == 0:
             break
     edges.unpersist()
