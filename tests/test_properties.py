@@ -107,3 +107,39 @@ def test_schema_drift_union_total_and_null_padded(spark, a, b):
         assert merged.filter(
             (F.col("indexation") == "ACM") & F.col(c).isNotNull()
         ).count() == 0
+
+
+def test_win_ntile_dense_matches_naive_global_window(spark, sf_dir):
+    """win_ntile_dense computes global NTILE/DENSE_RANK distributedly
+    (range shuffle + collected per-partition offsets). Its correctness
+    depends on the collected counts describing exactly the partitions
+    the main job builds — a property a subtly-wrong variant (literal
+    boundary re-derivation) violated at sf0.1 during round 4 while
+    passing at sf0.01. Cross-check the full output against the naive
+    single-partition window spec at whatever SF the tests run."""
+    from pyspark.sql import Window
+
+    from data_collection_ieee_spark import registry
+
+    got = sorted(
+        map(tuple, registry.QUERIES["win_ntile_dense"](spark, sf_dir).collect())
+    )
+    from data_collection_ieee_spark.catalog import load_table
+
+    cu = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    naive = sorted(
+        map(
+            tuple,
+            cu.select(
+                "c_custkey",
+                "c_acctbal",
+                F.ntile(4).over(w).cast("int").alias("balance_quartile"),
+                F.dense_rank()
+                .over(Window.orderBy("c_mktsegment"))
+                .cast("int")
+                .alias("segment_rank"),
+            ).collect(),
+        )
+    )
+    assert got == naive
