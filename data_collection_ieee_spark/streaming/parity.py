@@ -56,13 +56,16 @@ def read_events_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(src).schema
 
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "dcis_stream_stage",
-        f"{sf_dir.strip('/').replace('/', '_')}_{n_files}"
-        f"_{int(st.st_mtime)}_{st.st_size}",
-    )
+    root = os.path.join(tempfile.gettempdir(), "dcis_stream_stage")
+    prefix = f"{sf_dir.strip('/').replace('/', '_')}_{n_files}"
+    stage = os.path.join(root, f"{prefix}_{int(st.st_mtime)}_{st.st_size}")
     if not os.path.exists(stage):
+        # drop superseded stages of the same (sf_dir, n_files) — they
+        # describe a testdata generation that no longer exists
+        if os.path.isdir(root):
+            for d in os.listdir(root):
+                if d.startswith(prefix + "_") and os.path.join(root, d) != stage:
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
         os.makedirs(stage, exist_ok=True)
         if n_files == 1:
             shutil.copy(src, os.path.join(stage, "events.parquet"))
