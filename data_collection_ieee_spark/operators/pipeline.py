@@ -153,23 +153,27 @@ GROUP BY bin_lo
 def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length histogram (fixed 32-token bins) with corpus share —
     the length profile that drives packing/context-length decisions.
-    Integer bin edges (floor division), one map-side-combined agg."""
+    Integer bin edges (floor division), one map-side-combined agg.
+
+    The corpus total is Σ n_docs over the histogram itself (every doc
+    lands in exactly one bin), so the share comes from a window over
+    the ≤|bins| aggregated rows — no second scan, no 1-row crossJoin."""
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split("text", " ")).cast("long")
     binned = docs.select(
         (F.floor(n_tokens / _HIST_BIN).cast("long") * _HIST_BIN).alias("bin_lo"),
         n_tokens.alias("n_tokens"),
     )
-    total = binned.agg(F.count("*").alias("total"))  # 1-row aggregate, broadcast
     return (
         binned.groupBy("bin_lo")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("sum_tokens"),
         )
-        .crossJoin(F.broadcast(total))
-        .withColumn("doc_share", F.round(F.col("n_docs") / F.col("total"), 6))
-        .drop("total")
+        .withColumn(
+            "doc_share",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy()), 6),
+        )
     )
 
 
