@@ -146,6 +146,90 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ntile4_dense(cu) -> DataFrame:
+    """Distributed exact NTILE(4) + segment DENSE_RANK over
+    (c_acctbal DESC, c_custkey ASC) without a single-partition window.
+
+    Deterministic bucketing, NOT repartitionByRange: Spark's
+    RangePartitioner seeds its reservoir sample from the RDD id
+    (core/src/main/scala/org/apache/spark/Partitioner.scala — `sketch`
+    uses `byteswap32(-rdd.id - 1)`), so two materializations of the
+    same lineage can cut DIFFERENT boundaries once partitions are
+    large enough to actually sample. A counts job + main job built on
+    repartitionByRange therefore silently disagree at scale — observed
+    at sf0.1 (15k rows) while sf0.01 passed, because small partitions
+    are sampled exhaustively. Here every job computes the bucket from
+    the SAME collected literal boundaries, so cross-job agreement is
+    by construction, not by sampling luck:
+
+    - Job 1 (one aggregate): 31 approx percentiles of c_acctbal
+      (accuracy 10k), total n, distinct segments.
+    - Job 2 (tiny): exact per-bucket counts -> cumulative rank offsets.
+      Rows equal to a boundary value all land in one bucket (strict <),
+      so buckets are contiguous under the sort order and per-bucket
+      row_number + offset IS the exact global rank.
+    - Main job: scan -> hash shuffle on bucket -> per-bucket window ->
+      pure projection with literal maps (no joins, no subqueries).
+
+    NTILE(k) is then arithmetic on (rank, n): the first n%k tiles take
+    ⌈n/k⌉ rows, the rest ⌊n/k⌋ — integer-exact at any n. The collects
+    are bounded index metadata (31 doubles, ≤32 counts, |segments|
+    labels) — the same pattern as the IVF centroid collects. Bucket
+    skew is bounded by the largest tie-group on c_acctbal."""
+    NB = 32
+    qs = [i / NB for i in range(1, NB)]
+    stat = cu.agg(
+        F.percentile_approx("c_acctbal", qs, 10000).alias("bounds"),
+        F.count("*").alias("n"),
+        F.collect_set("c_mktsegment").alias("segs"),
+    ).collect()[0]
+    # sort order is c_acctbal DESC -> bucket 0 holds the largest values
+    bounds = sorted(set(stat["bounds"]), reverse=True)
+    n = stat["n"]
+    seg_rank = {s: i + 1 for i, s in enumerate(sorted(stat["segs"]))}
+    bucket = sum(
+        (F.col("c_acctbal") < F.lit(b)).cast("int") for b in bounds
+    ).alias("_bkt")
+    bucketed = cu.select("*", bucket)
+
+    cnts = dict(
+        (r["_bkt"], r["cnt"])
+        for r in bucketed.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(cnts):
+        offsets[b] = acc
+        acc += cnts[b]
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    smap = F.create_map(*[F.lit(x) for kv in seg_rank.items() for x in kv])
+
+    base, rem = n // 4, n % 4
+    cut = rem * (base + 1)
+    quartile = F.expr(
+        f"""CAST(CASE WHEN _rank <= {cut}
+                     THEN (_rank + {base}) DIV ({base} + 1)
+                     ELSE {rem} + (_rank - {cut} + {base} - 1) DIV {base}
+                END AS INT)"""
+    )
+    return (
+        bucketed.repartition(NB, "_bkt")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_bkt").orderBy(
+                    F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+                )
+            ),
+        )
+        .withColumn("_rank", F.col("_rn") + omap[F.col("_bkt")])
+        .withColumn("balance_quartile", quartile)
+        .withColumn("segment_rank", smap[F.col("c_mktsegment")].cast("int"))
+        .select("c_custkey", "c_acctbal", "balance_quartile", "segment_rank")
+    )
+
+
+
 @query(
     "win_ntile_dense",
     oracle="""
@@ -159,75 +243,13 @@ def win_ntile_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's `_get_quartile` stub (main.py:182-185) made real:
     NTILE(4) quartile assignment plus a DENSE_RANK enumeration —
     WITHOUT the single-partition global window both would naively cost
-    (the oracle keeps the naive form as the semantic spec).
-
-    Distributed global rank in ONE shuffled pass plus one tiny metadata
-    job: range-repartition on the sort key, then an eager ≤32×|segments|
-    row collect of per-partition-per-segment counts. From that the
-    driver derives (a) each range partition's cumulative rank offset and
-    (b) the DENSE_RANK of every distinct c_mktsegment — both embedded as
-    literal map expressions, so the main job is scan → range shuffle →
-    per-partition row_number → pure projection. No joins, no broadcast
-    subqueries (the r3 version built `offsets` as a broadcast-join
-    subquery over a second range shuffle — two sampling passes and the
-    dominant cost of the plan).
-
-    Cross-job consistency: both jobs materialize the same
-    `repartitionByRange` lineage; Spark's RangePartitioner samples with
-    a per-partition-index fixed seed (core/Partitioner.scala, `sketch`
-    seeds `byteswap32(idx ^ (shift << 16))`), so identical input splits
-    yield identical boundaries in both jobs and the collected counts
-    describe exactly the partitions the main job builds.
-
-    NTILE(k) is pure arithmetic on (rank, n): the first n%k tiles take
-    ⌈n/k⌉ rows, the rest ⌊n/k⌋ — integer-exact at any n. At 100 TB the
-    counts job is a map-side-combined aggregate collapsing to ≤32×|segs|
-    rows; no operator ever sees all rows in one task."""
+    (the oracle keeps the naive form as the semantic spec). See
+    :func:`_ntile4_dense` for the deterministic-bucketing algorithm and
+    why repartitionByRange cannot be trusted across jobs."""
     cu = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment"
     )
-    ranged = cu.repartitionByRange(
-        32, F.col("c_acctbal").desc(), F.col("c_custkey").asc()
-    ).withColumn("_pid", F.spark_partition_id())
-
-    rows = ranged.groupBy("_pid", "c_mktsegment").agg(F.count("*").alias("n")).collect()
-    cnts: dict[int, int] = {}
-    segs: set[str] = set()
-    for r in rows:
-        cnts[r["_pid"]] = cnts.get(r["_pid"], 0) + r["n"]
-        segs.add(r["c_mktsegment"])
-    n = sum(cnts.values())
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(cnts):
-        offsets[pid] = acc
-        acc += cnts[pid]
-    seg_rank = {s: i + 1 for i, s in enumerate(sorted(segs))}
-    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    smap = F.create_map(*[F.lit(x) for kv in seg_rank.items() for x in kv])
-
-    base, rem = n // 4, n % 4
-    cut = rem * (base + 1)
-    quartile = F.expr(
-        f"""CAST(CASE WHEN _rank <= {cut}
-                     THEN (_rank + {base}) DIV ({base} + 1)
-                     ELSE {rem} + (_rank - {cut} + {base} - 1) DIV {base}
-                END AS INT)"""
-    )
-    return (
-        ranged.withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("_pid").orderBy(
-                    F.col("c_acctbal").desc(), F.col("c_custkey").asc()
-                )
-            ),
-        )
-        .withColumn("_rank", F.col("_rn") + omap[F.col("_pid")])
-        .withColumn("balance_quartile", quartile)
-        .withColumn("segment_rank", smap[F.col("c_mktsegment")].cast("int"))
-        .select("c_custkey", "c_acctbal", "balance_quartile", "segment_rank")
-    )
+    return _ntile4_dense(cu)
 
 
 @query(

@@ -143,3 +143,44 @@ def test_win_ntile_dense_matches_naive_global_window(spark, sf_dir):
         )
     )
     assert got == naive
+
+
+def test_ntile4_dense_large_synthetic_with_ties(spark):
+    """The round-4 sf0.1 regression class: repartitionByRange seeds its
+    reservoir sample from the RDD id, so cross-job boundary agreement
+    fails exactly when partitions get big enough to sample — i.e. only
+    ABOVE the scale the small-SF oracles exercise. Drive the refactored
+    helper with a 60k-row deterministic frame (heavy acctbal ties) and
+    compare against the naive single-partition spec."""
+    from pyspark.sql import Window
+
+    from data_collection_ieee_spark.operators.windows import _ntile4_dense
+
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    cu = spark.range(60_000).select(
+        F.col("id").alias("c_custkey"),
+        # pmod(xxhash64) gives a deterministic pseudo-random balance with
+        # ~6 rows per distinct value -> plenty of cross-bucket ties
+        (F.pmod(F.xxhash64("id"), F.lit(10_000)) / 100.0).alias("c_acctbal"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in segs]),
+            (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(5)) + 1).cast("int"),
+        ).alias("c_mktsegment"),
+    )
+    got = sorted(map(tuple, _ntile4_dense(cu).collect()))
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    naive = sorted(
+        map(
+            tuple,
+            cu.select(
+                "c_custkey",
+                "c_acctbal",
+                F.ntile(4).over(w).cast("int").alias("balance_quartile"),
+                F.dense_rank()
+                .over(Window.orderBy("c_mktsegment"))
+                .cast("int")
+                .alias("segment_rank"),
+            ).collect(),
+        )
+    )
+    assert got == naive

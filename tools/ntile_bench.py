@@ -1,4 +1,13 @@
-"""Scratch harness: measure win_ntile_dense variants at sf0.1 (warm, best-of-3)."""
+"""Scratch harness: measure win_ntile_dense variants at sf0.1 (warm, best-of-3).
+
+WARNING: the collect_offsets / collect_combined / shared_window variants
+here are retained ONLY as perf references — they are INCORRECT at scale:
+they assume two materializations of the same repartitionByRange lineage
+cut identical boundaries, but Spark seeds that sampling from the RDD id,
+so the counts job and the main job can disagree once partitions are big
+enough to sample (observed at sf0.1). The shipped implementation is
+operators/windows.py:_ntile4_dense (deterministic literal bucketing).
+"""
 import sys, os, time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
