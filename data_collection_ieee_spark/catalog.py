@@ -79,3 +79,52 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+# ---------------------------------------------------------------------------
+# persisted-frame registry (cache-release hook)
+#
+# Several operators persist intermediate frames (shingle tables, LSH
+# signature tables, IVF assignments, range-partitioned rank frames).
+# Within one query run those caches are what make the plans cheap; in a
+# long-lived service session they would accumulate executor storage
+# across sf_dirs/campaigns. Every persist in the repo goes through
+# `persist_tracked`, and `release_caches()` drops them all (plus any
+# memoization dicts registered via `on_release`) — callers run it
+# between campaigns / sf_dirs. Unpersisting an already-unpersisted or
+# GC'd frame is a no-op, so release is always safe to call.
+
+from typing import Callable, List  # noqa: E402
+
+_TRACKED: List[DataFrame] = []
+_RELEASE_HOOKS: List[Callable[[], None]] = []
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """persist() a frame and register it for `release_caches()`."""
+    df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def on_release(fn: Callable[[], None]) -> Callable[[], None]:
+    """Register a callback (e.g. a memo-dict clear) run by
+    `release_caches()`. Usable as a decorator; returns fn unchanged."""
+    _RELEASE_HOOKS.append(fn)
+    return fn
+
+
+def release_caches() -> int:
+    """Unpersist every tracked frame and clear registered memo caches.
+    Returns the number of frames unpersisted."""
+    n = 0
+    for df in _TRACKED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped / frame GC'd — nothing to free
+    _TRACKED.clear()
+    for fn in _RELEASE_HOOKS:
+        fn()
+    return n

@@ -48,7 +48,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_collection_ieee_spark.catalog import load_table
+from data_collection_ieee_spark.catalog import load_table, on_release, persist_tracked
 from data_collection_ieee_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -62,6 +62,10 @@ def _tokens(col: str = "text"):
 
 
 _SHINGLE_CACHE: dict = {}
+# release_caches() (catalog.py) clears the memo alongside unpersisting
+# the tracked frames, so a long-lived session can run dedup campaigns
+# over many sf_dirs without accumulating executor storage
+on_release(_SHINGLE_CACHE.clear)
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,8 +102,8 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 """
             ).alias("hs"),
         )
-        .persist()
     )
+    out = persist_tracked(out)
     _SHINGLE_CACHE[key] = out
     return out
 
@@ -294,10 +298,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    banded = (
-        sh.select("doc_id", "hs")
-        .mapInPandas(band_rows, schema="doc_id bigint, band int, sig bigint")
-        .persist()  # the signature table: built once, joined against itself
+    # the signature table: built once, joined against itself;
+    # tracked so release_caches() can drop it between campaigns
+    banded = persist_tracked(
+        sh.select("doc_id", "hs").mapInPandas(
+            band_rows, schema="doc_id bigint, band int, sig bigint"
+        )
     )
     a = banded.select(F.col("doc_id").alias("a_id"), "band", "sig")
     b = banded.select(F.col("doc_id").alias("b_id"), "band", "sig")
@@ -401,7 +407,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("ch"),
-    ).select("doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v")).persist()
+    ).select("doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    chunks = persist_tracked(chunks)
     a = chunks.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a"), "c", "v")
     b = chunks.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sh_b"), "c", "v")
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -488,10 +495,12 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["own_cos"] = cos.max(axis=1)
             yield out
 
-    assigned = emb.mapInPandas(
-        assign_batches,
-        schema="vec_id bigint, embedding array<float>, list_id int, own_cos double",
-    ).persist()
+    assigned = persist_tracked(
+        emb.mapInPandas(
+            assign_batches,
+            schema="vec_id bigint, embedding array<float>, list_id int, own_cos double",
+        )
+    )
 
     # --- 3. list radii (tiny collect: ≤16 rows) → admissible list pairs
     radii_rows = assigned.groupBy("list_id").agg(F.min("own_cos").alias("c")).collect()
@@ -592,11 +601,10 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).withColumnsRenamed({"a_id": "u", "b_id": "v"}).persist()
-    labels = (
+    labels = persist_tracked(
         _shingles_df(spark, sf_dir)
         .select("doc_id")
         .withColumn("cluster_id", F.col("doc_id"))
-        .persist()
     )
     cached = labels
     for _ in range(15):

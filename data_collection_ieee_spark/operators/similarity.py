@@ -83,10 +83,8 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     topk = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(TOP_K)
-    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id").asc()
-    )
-    return topk.withColumn("rank", F.row_number().over(w))
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 @query(
@@ -330,9 +328,12 @@ def sim_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(_cosine(F.col("embedding"), F.col("probe_emb")), 4).alias("cos_sim"),
     )
+    # Top-k via orderBy().limit() -> TakeOrderedAndProject (per-partition
+    # heap, k rows to the driver) — NOT a global no-partitionBy window
+    # over the full multiprobe candidate set (~31% of the corpus here;
+    # tens of billions of rows through one executor's sort at 100 TB).
+    # The rank window then runs over only the k surviving rows, same
+    # shape as sim_cosine_topk above. Asserted in tools/plan_audit.py.
+    topk = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(TOP_K)
     w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= TOP_K)
-        .orderBy("rank")
-    )
+    return topk.withColumn("rank", F.row_number().over(w).cast("int")).orderBy("rank")

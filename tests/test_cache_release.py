@@ -1,0 +1,62 @@
+"""Cache-release hook (catalog.persist_tracked / release_caches).
+
+Operators persist intermediate frames (shingle table, LSH signatures,
+simhash chunks, IVF assignments, the sort_multi ranged frame). In a
+long-lived session those caches would accumulate across sf_dirs; the
+release hook must drop every tracked frame AND the shingle memo so a
+second campaign starts from zero executor storage.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_collection_ieee_spark import catalog
+from data_collection_ieee_spark.operators import dedup, sorting
+
+SF_A = "/root/testdata/sf0.001"
+SF_B = "/root/testdata/sf0.01"
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_release_drops_all_tracked_frames(spark):
+    catalog.release_caches()  # start clean regardless of test order
+    base = _n_persistent(spark)
+
+    dedup.dedup_minhash_lsh(spark, SF_A).count()  # persists shingles + signatures
+    sorting.sort_multi(spark, SF_A).count()  # persists the ranged frame
+    assert _n_persistent(spark) > base
+
+    n = catalog.release_caches()
+    assert n >= 3  # shingles, signature table, ranged frame at minimum
+    assert _n_persistent(spark) == base
+    assert not dedup._SHINGLE_CACHE  # memo cleared with the frames
+
+
+def test_second_sf_dir_does_not_accumulate(spark):
+    """Running the same campaign on a second sf_dir after release must
+    not stack storage: the footprint after (run B, release) equals the
+    footprint after (run A, release)."""
+    catalog.release_caches()
+    base = _n_persistent(spark)
+
+    dedup.dedup_simhash(spark, SF_A).count()
+    after_a = _n_persistent(spark)
+    assert after_a > base
+    catalog.release_caches()
+    assert _n_persistent(spark) == base
+
+    dedup.dedup_simhash(spark, SF_B).count()
+    after_b = _n_persistent(spark)
+    # same operator, same number of tracked frames — no generation leak
+    assert after_b - base == after_a - base
+    catalog.release_caches()
+    assert _n_persistent(spark) == base
+
+
+def test_release_is_idempotent_and_safe_when_empty(spark):
+    catalog.release_caches()
+    assert catalog.release_caches() == 0

@@ -14,6 +14,14 @@ Checks per query (heuristics over `explain("formatted")` text):
                  instead of broadcast-hash.
 - NO_CODEGEN:    no WholeStageCodegen span anywhere (fully interpreted
                  plan) for a query with no Python/Arrow stage.
+- GLOBAL_WINDOW: a partitionBy-less Window (single-partition sort of
+                 its whole input) whose child is NOT a bounded top-k
+                 node (TakeOrderedAndProject / GlobalLimit) — the
+                 scale-killer pattern VERDICT r4 flagged on
+                 sim_ann_hyperplane; this check keeps it from coming
+                 back on ANY query, top-k-shaped ones especially
+                 (sim_cosine_topk, sim_ann_ivf, sim_ann_hyperplane,
+                 topk_limit, win_rank_topk).
 
 Usage: python tools/plan_audit.py [--sf DIR] [-v] [name ...]
 Writes PLANS.md at the repo root with one row per query.
@@ -107,7 +115,69 @@ def audit_one(name: str, df) -> tuple[list[str], str]:
     if "codegen id" not in txt and name not in PY_STAGES and name not in BARE_SCAN_OK:
         flags.append("NO_CODEGEN")
 
+    if _has_unbounded_global_window(txt):
+        flags.append("GLOBAL_WINDOW")
+
     return flags, txt
+
+
+# tree nodes that bound their output to ~k rows, making a global window
+# over them harmless (the window sorts k rows, not the corpus)
+_BOUNDED_CHILDREN = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+
+
+def _has_unbounded_global_window(txt: str) -> bool:
+    """True iff some Window node (a) has NO partition spec — its formatted
+    `Arguments:` carries only [window exprs], [order spec], i.e. a single
+    top-level `], [` separator instead of two — and (b) its direct child
+    in the plan tree is not a bounded top-k node. Such a window moves its
+    ENTIRE input through one partition (Spark itself warns 'Moving all
+    data to a single partition')."""
+    # node id -> partitionBy-less?  (from the per-node detail sections).
+    # Arguments prints only the non-empty spec lists:
+    #   [exprs]                       — no partition, no order: GLOBAL
+    #   [exprs], [p#1, p#2]           — partitioned, no order: fine
+    #   [exprs], [k#1 DESC, k#2 ASC]  — no partition, ordered: GLOBAL sort
+    #   [exprs], [p#1], [k#1 ASC]     — partitioned + ordered: fine
+    # so a window is global iff it has <3 lists and the last list is not
+    # a bare partition-column list (order entries carry ASC/DESC).
+    global_win: set[str] = set()
+    for m in re.finditer(r"\((\d+)\) Window\b[^\n]*\n(?:[^\n]*\n)*?Arguments: (.*)", txt):
+        lists = m.group(2).split("], [")
+        if len(lists) == 1 or (
+            len(lists) == 2 and re.search(r"\b(ASC|DESC)\b", lists[-1])
+        ):
+            global_win.add(m.group(1))
+    if not global_win:
+        return False
+    # tree section: a Window line's child is the next tree line; its
+    # subtree is the run of following lines at strictly deeper indent
+    tree_lines = [l for l in txt.split("\n\n", 1)[0].splitlines() if re.search(r"\(\d+\)\s*$", l)]
+
+    def depth(line: str) -> int:
+        return len(re.match(r"[\s:+\-*]*", line).group(0))
+
+    for i, line in enumerate(tree_lines):
+        m = re.search(r"Window(?:GroupLimit)? \((\d+)\)\s*$", line)
+        if not m or m.group(1) not in global_win or "WindowGroupLimit" in line:
+            continue
+        child = tree_lines[i + 1] if i + 1 < len(tree_lines) else ""
+        if any(b in child for b in _BOUNDED_CHILDREN):
+            continue
+        # a grouped aggregate anywhere below bounds the window's input to
+        # the group-key cardinality (e.g. shares over a per-(source,lang)
+        # rollup) — tiny by construction, and cheaper than re-scanning
+        # the base table once per share column. Only a global window fed
+        # by O(scan) rows is the scale hazard.
+        d = depth(line)
+        subtree = []
+        for nxt in tree_lines[i + 1:]:
+            if depth(nxt) <= d:
+                break
+            subtree.append(nxt)
+        if not any("Aggregate" in s for s in subtree):
+            return True
+    return False
 
 
 def main() -> int:
