@@ -178,45 +178,18 @@ def _verified_pairs(candidates: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_ngram_jaccard", oracle=_SQL_JACCARD_PAIRS)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs at trigram-shingle Jaccard ≥ 0.8 via an
-    inverted-index count-join:
+# When any shingle's document frequency exceeds this, the full postings
+# self-join's Σ df² term dominates and candidate generation switches to
+# rarest-first prefix filtering (see _prefix_candidates). The driver
+# corpora stay far below it (sf0.1 max df ≈ low hundreds), so the
+# default path — and the green CORRECTNESS row — is the count-join.
+PREFIX_DF_SWITCH = 10_000
 
-    Postings are the 64-bit per-shingle hashes computed once in
-    _shingles_df (8-byte join keys, not strings). The self-join emits
-    one row per SHARED shingle of an ordered pair, so
-    `groupBy(a,b).count()` IS the exact intersection size — the whole
-    pipeline (explode → equi-join → partial/final count → broadcast
-    size join → integer filter) stays inside whole-stage codegen, with
-    no interpreted array intersections anywhere. The threshold test is
-    integer arithmetic (100·inter ≥ 80·union): no float boundary can
-    disagree with the oracle.
 
-    Scale analysis (measured at sf0.1 against two alternatives):
-    - this plan:          cost ∝ total postings + Σ_shingle df² — all
-      codegen; fastest when document frequency (df) is moderate.
-    - AllPairs prefix filtering (rarest-first or hash-order prefixes of
-      size |s|-⌈τ|s|⌉+1) generates fewer candidate PAIRS but must then
-      verify each with array_intersect — interpreted, ~2-3× slower
-      here because this corpus's candidates are bounded anyway.
-    At 100 TB with boilerplate shingles (df → millions) the df² term
-    explodes; then switch candidate generation to rarest-first prefix
-    postings (one extra groupBy+broadcast of the df dimension) and keep
-    this count-join shape for verification. Same results either way —
-    candidate generation only ever adds pairs; the exact filter
-    decides."""
-    sh = _shingles_df(spark, sf_dir)
-    postings = sh.select("doc_id", F.explode("hs").alias("h"))
-    sizes = sh.select("doc_id", F.size("hs").alias("n"))
-    a = postings.select(F.col("doc_id").alias("a_id"), "h")
-    b = postings.select(F.col("doc_id").alias("b_id"), "h")
-    inter = (
-        a.join(b, "h")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("inter"))
-    )
+def _jaccard_tail(inter: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Shared finish for both candidate-generation paths: attach set
+    sizes (broadcast), apply the integer-exact threshold
+    (100·inter ≥ PCT·union), emit the pair row. All codegen."""
     na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
     return (
@@ -232,6 +205,121 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("inter").cast("double") / F.col("uni"), 4).alias("jaccard"),
         )
     )
+
+
+def _prefix_candidates(postings: DataFrame, sizes: DataFrame, df_tbl: DataFrame) -> DataFrame:
+    """Rarest-first prefix-filter candidate pairs (AllPairs/PPJoin).
+
+    Order each doc's shingles by ascending document frequency (ties by
+    hash — a global total order), and keep only the PREFIX of length
+    n − ⌈τ·n⌉ + 1. Theorem: for any pair with Jaccard ≥ τ, the
+    globally-smallest shared shingle sits inside BOTH prefixes — all
+    earlier elements of either set are non-shared, and each set has at
+    most n − ⌈τ·n⌉ of those since |A∩B| ≥ ⌈τ·n⌉. So the prefix-prefix
+    equi-join loses NO qualifying pair, while the rarest-first order
+    makes prefixes land on the lowest-df postings — the df² term of the
+    full self-join collapses to the df² of the rarest ~20% of each doc.
+    ⌈τ·n⌉ is computed in exact integer arithmetic (τ = PCT/100)."""
+    ranked = postings.join(df_tbl, "h")
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
+    prefix_len = F.expr(
+        f"n - (({JACCARD_THRESHOLD_PCT} * n + 99) DIV 100) + 1"  # n − ⌈τ·n⌉ + 1, exact ints
+    )
+    prefix = (
+        ranked.withColumn("r", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("r") <= prefix_len)
+        .select("doc_id", "h")
+    )
+    a = prefix.select(F.col("doc_id").alias("a_id"), "h")
+    b = prefix.select(F.col("doc_id").alias("b_id"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+# max-df per shingle frame, memoized so repeat callers (e.g.
+# dedup_cluster_assign → dedup_ngram_jaccard) pay the 1-row decision
+# job once per session; cleared with the other caches
+_MAXDF_CACHE: dict = {}
+on_release(_MAXDF_CACHE.clear)
+
+
+def _jaccard_pairs(spark: SparkSession, sh: DataFrame, force_prefix: bool | None = None) -> DataFrame:
+    """Exact Jaccard ≥ τ pairs over a (doc_id, hs) shingle frame, with
+    adaptive candidate generation (see dedup_ngram_jaccard docstring).
+    `force_prefix` pins the path for tests; None = decide from max df
+    (one 1-row metadata collect over the df aggregate, memoized per
+    shingle frame)."""
+    postings = sh.select("doc_id", F.explode("hs").alias("h"))
+    sizes = sh.select("doc_id", F.size("hs").alias("n"))
+
+    use_prefix = force_prefix
+    df_tbl = None
+    if use_prefix is None or use_prefix:
+        df_tbl = postings.groupBy("h").agg(F.count("*").alias("df"))
+    if use_prefix is None:
+        if id(sh) not in _MAXDF_CACHE:
+            row = df_tbl.agg(F.max("df").alias("m")).first()
+            _MAXDF_CACHE[id(sh)] = row["m"] or 0
+        use_prefix = _MAXDF_CACHE[id(sh)] > PREFIX_DF_SWITCH
+
+    if use_prefix:
+        cand = _prefix_candidates(postings, sizes, df_tbl)
+        # count-join VERIFICATION restricted to candidates: one row per
+        # shared shingle of each candidate pair — cost ∝ candidate
+        # postings, all codegen, no interpreted array intersections.
+        ap = postings.select(F.col("doc_id").alias("a_id"), "h")
+        bp = postings.select(F.col("doc_id").alias("b_id"), "h")
+        inter = (
+            cand.join(ap, "a_id")
+            .join(bp, ["b_id", "h"])
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        a = postings.select(F.col("doc_id").alias("a_id"), "h")
+        b = postings.select(F.col("doc_id").alias("b_id"), "h")
+        inter = (
+            a.join(b, "h")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("inter"))
+        )
+    return _jaccard_tail(inter, sizes)
+
+
+@query("dedup_ngram_jaccard", oracle=_SQL_JACCARD_PAIRS)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs at trigram-shingle Jaccard ≥ 0.8 via an
+    inverted-index count-join with ADAPTIVE candidate generation:
+
+    Postings are the 64-bit per-shingle hashes computed once in
+    _shingles_df (8-byte join keys, not strings). The self-join emits
+    one row per SHARED shingle of an ordered pair, so
+    `groupBy(a,b).count()` IS the exact intersection size — the whole
+    pipeline (explode → equi-join → partial/final count → broadcast
+    size join → integer filter) stays inside whole-stage codegen, with
+    no interpreted array intersections anywhere. The threshold test is
+    integer arithmetic (100·inter ≥ 80·union): no float boundary can
+    disagree with the oracle.
+
+    Scale adaptivity (the df² escape hatch, built in round 5):
+    - moderate df (this corpus): full postings self-join — cost
+      ∝ total postings + Σ_shingle df², fastest when document
+      frequency is bounded.
+    - boilerplate-heavy corpora (max df > PREFIX_DF_SWITCH, decided
+      from a 1-row collect of the df aggregate): rarest-first
+      prefix-filter generation (_prefix_candidates) — prefixes of
+      length n − ⌈τ·n⌉ + 1 in ascending-df order, provably lossless —
+      then the SAME count-join, restricted to candidates. Either path
+      feeds the identical integer filter, so results are identical by
+      construction (tests/test_llm_ops.py proves path equality on a
+      crafted high-df fixture and that the candidate count collapses)."""
+    return _jaccard_pairs(spark, _shingles_df(spark, sf_dir))
 
 
 _N_HASHES = 128
@@ -588,35 +676,97 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph — the assignment a dedup campaign actually consumes (keep one
     representative per cluster, drop the rest).
 
-    Connected components via iterative min-label propagation: each
-    round joins current labels across edges and keeps the per-node min;
-    the loop stops when a round changes nothing. Rounds needed =
-    O(graph diameter); duplicate clusters are near-cliques (diameter
-    1-2), and the hard cap of 15 covers any pathological chain at any
-    scale. Each round is one shuffle join + one aggregate — fully
-    distributed; the only driver-side value is the converged? count.
+    The component kernel is `connected_components` (hot-key-hardened
+    min-label propagation; see its docstring for the skew design and
+    tests/test_properties.py for the 10k-node hub property test).
     Oracle: DuckDB recursive CTE computing exact min-reachable labels.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
-    edges = pairs.union(
-        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    ).withColumnsRenamed({"a_id": "u", "b_id": "v"}).persist()
-    labels = persist_tracked(
-        _shingles_df(spark, sf_dir)
-        .select("doc_id")
-        .withColumn("cluster_id", F.col("doc_id"))
+    nodes = _shingles_df(spark, sf_dir).select("doc_id")
+    labels = connected_components(spark, pairs, nodes)
+    # cluster_size via aggregate + join, NOT count().over(partitionBy):
+    # a WindowExec materializes each cluster in ONE task's memory — a
+    # giant component at 100 TB would OOM that task. The aggregate is
+    # map-side combined and the join's skew is AQE-splittable.
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+
+
+HOT_DEGREE = 1024  # in-degree above which a node's label is broadcast
+
+
+def connected_components(
+    spark: SparkSession,
+    pairs: DataFrame,
+    nodes: DataFrame,
+    max_rounds: int = 15,
+    hot_degree: int = HOT_DEGREE,
+) -> DataFrame:
+    """Connected-component labels (min node id per component) over an
+    undirected (a_id, b_id) pair list; returns (doc_id, cluster_id) for
+    every node in `nodes` (isolated nodes label themselves).
+
+    Iterative min-label propagation: each round joins current labels
+    across edges and keeps the per-node min; the loop stops when a
+    round changes nothing. Rounds needed = O(graph diameter); duplicate
+    clusters are near-cliques (diameter 1-2), and the cap of
+    `max_rounds` covers any pathological chain. Each round is one
+    shuffle join + one aggregate — fully distributed; the only
+    driver-side values are the has-hot-keys flag and the converged?
+    count.
+
+    Hot-key hardening (round 5): the propagation join looks up
+    labels[v] for every edge (u, v). A high-degree hub — the min-label
+    center of a giant near-clique component is exactly that — sends ALL
+    its edge rows to one shuffle partition. Degrees are static, so the
+    edge list is split ONCE by in-degree: lookups against nodes with
+    degree ≥ `hot_degree` resolve through a BROADCAST of just those
+    nodes' labels (≤ |E|/hot_degree rows by construction — bounded
+    metadata, same trick as a skew-hint join), while the long tail
+    keeps the ordinary shuffle join. The per-node min aggregate itself
+    is already safe: Spark's partial aggregation combines map-side, so
+    no reducer sees a hub's full fan-in. (The classic alternative is
+    large-star/small-star alternation; the split keeps the
+    convergence-in-the-aggregate trick and touches only the join.)"""
+    edges = (
+        pairs.union(pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")))
+        .withColumnsRenamed({"a_id": "u", "b_id": "v"})
+        .persist()
     )
+    deg = edges.groupBy("v").agg(F.count("*").alias("deg"))
+    hot_nodes = deg.filter(F.col("deg") >= hot_degree).select("v")
+    # tiny by construction; the 1-row check below also materializes it
+    edges_hot = edges.join(F.broadcast(hot_nodes), "v").persist()
+    has_hot = edges_hot.limit(1).count() > 0
+    edges_cold = (
+        edges.join(F.broadcast(hot_nodes), "v", "left_anti").persist() if has_hot else edges
+    )
+
+    labels = persist_tracked(nodes.withColumn("cluster_id", F.col("doc_id")))
     cached = labels
-    for _ in range(15):
+    for _ in range(max_rounds):
         # Convergence detection rides INSIDE the propagation aggregate:
         # each node's own row is tagged, so the same groupBy that takes
         # the neighborhood min also recovers the node's previous label,
         # and "did anything change" is a filter over the fresh cache —
         # no separate old-vs-new join, no second scan of the label
         # table per round.
-        prop = edges.join(labels, edges.v == labels.doc_id).select(
+        prop = edges_cold.join(labels, edges_cold.v == labels.doc_id).select(
             F.col("u").alias("doc_id"), "cluster_id", F.lit(False).alias("_self")
         )
+        if has_hot:
+            hot_lbl = labels.join(
+                F.broadcast(hot_nodes), labels.doc_id == hot_nodes.v
+            ).select("doc_id", "cluster_id")
+            prop = prop.unionByName(
+                edges_hot.join(
+                    F.broadcast(hot_lbl), edges_hot.v == hot_lbl.doc_id
+                ).select(
+                    F.col("u").alias("doc_id"),
+                    "cluster_id",
+                    F.lit(False).alias("_self"),
+                )
+            )
         merged = (
             labels.select("doc_id", "cluster_id", F.lit(True).alias("_self"))
             .unionByName(prop)
@@ -630,8 +780,8 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cluster_id",
                 (F.col("cluster_id") < F.col("_old")).alias("_changed"),
             )
-            .persist()
         )
+        merged = persist_tracked(merged)
         changed = merged.filter(F.col("_changed")).limit(1).count()
         # the count above materialized merged, so the superseded round's
         # cache can go — keeps executor storage at ≤2 label tables
@@ -642,6 +792,7 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
-    return labels.withColumn(
-        "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
-    )
+    edges_hot.unpersist()
+    if has_hot:
+        edges_cold.unpersist()
+    return labels

@@ -173,3 +173,82 @@ def test_sketch_reaggregate_matches_exact_within_tolerance(spark, sf_dir):
     assert set(merged) == set(exact)
     for k, e in exact.items():
         assert abs(merged[k] - e) <= max(2, 0.05 * e), (k, merged[k], e)
+
+
+# ---------------------------------------------------------------------------
+# adaptive candidate generation for dedup_ngram_jaccard (round 5)
+
+
+def _synthetic_highdf_shingles(spark):
+    """Shingle frame with pathological document frequency: every doc
+    shares one 'boilerplate' shingle (df = n_docs), plus rare content
+    shingles; docs 2k/2k+1 are near-duplicates (Jaccard 9/11 > 0.8)."""
+    rows = []
+    boiler = 0  # the high-df shingle hash
+    for d in range(400):
+        pair = d // 2
+        content = [1_000_000 + pair * 100 + i for i in range(9)]
+        extra = [2_000_000 + d] if d % 2 else [3_000_000 + d]
+        rows.append((d, [boiler] + content + extra))
+    return spark.createDataFrame(rows, "doc_id bigint, hs array<bigint>")
+
+
+def test_jaccard_prefix_path_equals_count_join_path(spark):
+    from data_collection_ieee_spark.operators import dedup
+
+    sh = _synthetic_highdf_shingles(spark)
+    full = dedup._jaccard_pairs(spark, sh, force_prefix=False)
+    pref = dedup._jaccard_pairs(spark, sh, force_prefix=True)
+    key = lambda r: (r["a_id"], r["b_id"])
+    fr = sorted(full.collect(), key=key)
+    pr = sorted(pref.collect(), key=key)
+    assert [tuple(r) for r in fr] == [tuple(r) for r in pr]
+    # every even/odd doc pair qualifies: inter=10 of 12 united... compute:
+    # shared = boiler + 9 content = 10; union = 12; 10/12 = 0.833 >= 0.8
+    assert len(fr) == 200
+    assert all(r["inter"] == 10 and r["uni"] == 12 for r in fr)
+
+
+def test_jaccard_prefix_candidates_collapse_on_high_df(spark):
+    """The boilerplate shingle (df = 400) makes the full self-join emit
+    C(400,2) = 79 800 candidate pairs from that single posting list; the
+    rarest-first prefix never touches it, so candidates collapse to the
+    qualifying neighborhood."""
+    from pyspark.sql import functions as F
+
+    from data_collection_ieee_spark.operators import dedup
+
+    sh = _synthetic_highdf_shingles(spark)
+    postings = sh.select("doc_id", F.explode("hs").alias("h"))
+    sizes = sh.select("doc_id", F.size("hs").alias("n"))
+    df_tbl = postings.groupBy("h").agg(F.count("*").alias("df"))
+
+    full_cand = (
+        postings.select(F.col("doc_id").alias("a_id"), "h")
+        .join(postings.select(F.col("doc_id").alias("b_id"), "h"), "h")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+        .count()
+    )
+    pref_cand = dedup._prefix_candidates(postings, sizes, df_tbl).count()
+    assert full_cand >= 79_800  # the df² blow-up the prefix path avoids
+    assert pref_cand < full_cand / 50  # collapses by >50x on this fixture
+    assert pref_cand >= 200  # still a superset of the 200 true pairs
+
+
+def test_jaccard_adaptive_switch_thresholds(spark):
+    """max df over the synthetic frame (400) stays under the switch, so
+    the adaptive path must pick the count-join; forcing the cache to a
+    huge max df must pick the prefix path. Both give identical rows."""
+    from data_collection_ieee_spark.operators import dedup
+
+    sh = _synthetic_highdf_shingles(spark)
+    dedup._MAXDF_CACHE.clear()
+    auto = dedup._jaccard_pairs(spark, sh)  # decides from real max df (400)
+    assert dedup._MAXDF_CACHE[id(sh)] == 400
+    assert auto.count() == 200
+    dedup._MAXDF_CACHE[id(sh)] = dedup.PREFIX_DF_SWITCH + 1
+    forced = dedup._jaccard_pairs(spark, sh)  # now takes the prefix path
+    assert forced.count() == 200
+    dedup._MAXDF_CACHE.clear()

@@ -184,3 +184,53 @@ def test_ntile4_dense_large_synthetic_with_ties(spark):
         )
     )
     assert got == naive
+
+
+# ---------------------------------------------------------------------------
+# connected-components kernel: hot-key (giant hub) hardening (round 5)
+
+
+def test_cc_10k_node_hub_component_converges(spark):
+    """One 10k-node star (hub=0, spokes 1..9999: in-degree 9999 — far
+    over HOT_DEGREE, so label lookups against the hub go through the
+    broadcast path) plus a disjoint 4-cycle and two isolated nodes.
+    Must converge inside the round cap and label every node with its
+    component min."""
+    from data_collection_ieee_spark.operators.dedup import connected_components
+
+    n = 10_000
+    star = [(0, s) for s in range(1, n)]
+    cycle = [(20_000, 20_001), (20_001, 20_002), (20_002, 20_003), (20_003, 20_000)]
+    pairs = spark.createDataFrame(star + cycle, "a_id bigint, b_id bigint")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n)] + [(20_000 + i,) for i in range(4)] + [(30_000,), (30_001,)],
+        "doc_id bigint",
+    )
+    labels = {r["doc_id"]: r["cluster_id"] for r in connected_components(spark, pairs, nodes).collect()}
+    assert len(labels) == n + 6
+    assert all(labels[i] == 0 for i in range(n))
+    assert all(labels[20_000 + i] == 20_000 for i in range(4))
+    assert labels[30_000] == 30_000 and labels[30_001] == 30_001
+
+
+def test_cc_cold_path_matches_hot_path(spark):
+    """The degree split is an execution detail: forcing every edge down
+    the hot path (hot_degree=1) must give identical labels to the pure
+    cold path (hot_degree=huge) on an irregular multi-component graph."""
+    from data_collection_ieee_spark.operators.dedup import connected_components
+
+    pairs_raw = [(1, 5), (5, 9), (9, 2), (40, 41), (41, 42), (7, 7), (3, 9)]
+    nodes_raw = [1, 2, 3, 5, 7, 9, 40, 41, 42, 99]
+    pairs = spark.createDataFrame(pairs_raw, "a_id bigint, b_id bigint")
+    nodes = spark.createDataFrame([(i,) for i in nodes_raw], "doc_id bigint")
+    hot = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(spark, pairs, nodes, hot_degree=1).collect()
+    }
+    cold = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(spark, pairs, nodes, hot_degree=10**9).collect()
+    }
+    expect = {1: 1, 2: 1, 3: 1, 5: 1, 9: 1, 40: 40, 41: 40, 42: 40, 7: 7, 99: 99}
+    assert hot == expect
+    assert cold == expect
