@@ -80,14 +80,21 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(per_query.values()), 3)
+    # A failed query contributes 0 s to the sum, so with errors present
+    # the headline would READ like a full-surface time while silently
+    # covering fewer queries. Null the headline in that case and expose
+    # the partial sum under an explicitly-partial name instead.
+    value = total if not errors else None
     full = {
         "metric": "total_wall_clock_all_queries",
-        "value": total,
+        "value": value,
         "unit": "sec",
         "queries": per_query,
         "errors": errors,
         "sf": sf,
     }
+    if errors:
+        full["partial_total_sec"] = total
     # Full per-query payload goes to bench_out.json (the 108-query dict
     # is ~2.6 KB — bigger than the driver's 2000-byte stdout-tail
     # capture, which is why round 1's single big line arrived truncated
@@ -104,7 +111,7 @@ def main() -> None:
     budget = 1900
     summary = {
         "metric": "total_wall_clock_all_queries",
-        "value": total,
+        "value": value,
         "unit": "sec",
         "sf": sf,
         "n_queries": len(per_query),
@@ -113,6 +120,8 @@ def main() -> None:
         "queries_omitted": 0,
         "queries": {},
     }
+    if errors:
+        summary["partial_total_sec"] = total
     by_slowest = sorted(per_query.items(), key=lambda kv: (-kv[1], kv[0]))
     for i, (name, sec) in enumerate(by_slowest):
         summary["queries"][name] = sec

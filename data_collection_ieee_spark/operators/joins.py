@@ -315,6 +315,15 @@ def _ensure_bucketed_table(
             os.rename(tmp_loc, loc)
         except OSError:
             shutil.rmtree(tmp_loc, ignore_errors=True)  # another writer won
+        # rename can fail for reasons OTHER than a concurrent winner
+        # (permissions, cross-device link); binding DDL to a missing
+        # LOCATION would surface later as confusing scan failures, so
+        # verify the destination actually exists before registering
+        if not os.path.isdir(loc):
+            raise OSError(
+                f"bucketed-table build failed: {loc} absent after rename "
+                f"(no concurrent winner); refusing to register {tbl}"
+            )
     spark.sql(
         f"CREATE TABLE {tbl} ({ddl_cols}) USING parquet "
         f"CLUSTERED BY ({bkey}) SORTED BY ({bkey}) "
@@ -351,14 +360,32 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li_st = os.stat(f"{sf_dir}/lineitem.parquet")
     o_st = os.stat(f"{sf_dir}/orders.parquet")
+    sf_part = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    # nanosecond mtimes: testdata regenerated in-place within the same
+    # second at identical size must not silently reuse a stale build
     tag = (
-        sf_dir.strip("/").replace("/", "_").replace(".", "_")
-        + f"_{int(li_st.st_mtime)}_{li_st.st_size}_{int(o_st.st_mtime)}_{o_st.st_size}"
+        sf_part
+        + f"_{li_st.st_mtime_ns}_{li_st.st_size}_{o_st.st_mtime_ns}_{o_st.st_size}"
     )
     li_tbl, o_tbl = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
     key = (spark.sparkContext.applicationId, tag)
     if key not in _BUCKETED_READY:
+        import shutil
+
         root = os.path.join(tempfile.gettempdir(), "dcis_bucketed")
+        # prune superseded generations for this sf_dir (mirrors the
+        # streaming stage-dir cleanup) so /tmp doesn't accumulate one
+        # bucketed copy per testdata regeneration; best-effort — a
+        # concurrent session mid-read of an old generation just keeps
+        # its files until its own next run
+        if os.path.isdir(root):
+            for d in os.listdir(root):
+                if (
+                    d.startswith((f"lineitem_bkt_{sf_part}_", f"orders_bkt_{sf_part}_"))
+                    and d not in (li_tbl, o_tbl)
+                    and ".build." not in d  # never touch a concurrent in-progress build
+                ):
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
         _ensure_bucketed_table(
             spark,
             li_tbl,

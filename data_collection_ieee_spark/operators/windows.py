@@ -183,12 +183,27 @@ def _ntile4_dense(cu) -> DataFrame:
         F.count("*").alias("n"),
         F.collect_set("c_mktsegment").alias("segs"),
     ).collect()[0]
-    # sort order is c_acctbal DESC -> bucket 0 holds the largest values
-    bounds = sorted(set(stat["bounds"]), reverse=True)
     n = stat["n"]
+    if n == 0:
+        # percentile_approx returns NULL on empty input — there is
+        # nothing to bucket; emit the shaped empty frame directly
+        return cu.select(
+            "c_custkey",
+            "c_acctbal",
+            F.lit(None).cast("int").alias("balance_quartile"),
+            F.lit(None).cast("int").alias("segment_rank"),
+        )
+    # sort order is c_acctbal DESC -> bucket 0 holds the largest values;
+    # bounds is NULL (not a list) when every c_acctbal is NULL
+    bounds = sorted(set(stat["bounds"] or []), reverse=True)
     seg_rank = {s: i + 1 for i, s in enumerate(sorted(stat["segs"]))}
-    bucket = sum(
-        (F.col("c_acctbal") < F.lit(b)).cast("int") for b in bounds
+    # NULL balances: a NULL comparison would yield a NULL bucket and
+    # silently diverge from the oracle's DESC NULLS LAST order — route
+    # them to a dedicated final bucket instead (DESC NULLS LAST ⇒ all
+    # NULLs sort after every non-null value; within the bucket the
+    # c_custkey tiebreak matches the oracle exactly)
+    bucket = F.when(F.col("c_acctbal").isNull(), F.lit(NB)).otherwise(
+        sum((F.col("c_acctbal") < F.lit(b)).cast("int") for b in bounds)
     ).alias("_bkt")
     bucketed = cu.select("*", bucket)
 

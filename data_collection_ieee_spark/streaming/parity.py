@@ -61,7 +61,15 @@ def read_events_stream(
     stage = os.path.join(root, f"{prefix}_{int(st.st_mtime)}_{st.st_size}")
     if not os.path.exists(stage):
         # drop superseded stages of the same (sf_dir, n_files) — they
-        # describe a testdata generation that no longer exists
+        # describe a testdata generation that no longer exists.
+        # Known race, accepted for test-only infra: another live session
+        # could still be mid-stream over an old stage dir, and deleting
+        # it would fail that stream's next micro-batch. ignore_errors
+        # keeps THIS side resilient (per-file failures are skipped, so a
+        # concurrently-held file never aborts the cleanup); the old
+        # session's stream is the casualty. If this ever graduates past
+        # tests, key liveness with an access-marker file and skip dirs
+        # touched within a TTL.
         if os.path.isdir(root):
             for d in os.listdir(root):
                 if d.startswith(prefix + "_") and os.path.join(root, d) != stage:

@@ -234,3 +234,26 @@ def test_cc_cold_path_matches_hot_path(spark):
     expect = {1: 1, 2: 1, 3: 1, 5: 1, 9: 1, 40: 40, 41: 40, 42: 40, 7: 7, 99: 99}
     assert hot == expect
     assert cold == expect
+
+
+def test_ntile_dense_null_balances_and_empty_input(spark):
+    """_ntile4_dense: NULL c_acctbal rows must land in the final
+    quartiles (DESC NULLS LAST), and an empty input must return an
+    empty shaped frame instead of crashing on NULL percentiles."""
+    from data_collection_ieee_spark.operators.windows import _ntile4_dense
+
+    rows = [(1, 100.0, "A"), (2, 50.0, "B"), (3, None, "A"), (4, None, "B"),
+            (5, 75.0, "A"), (6, 25.0, "B"), (7, 60.0, "A"), (8, 90.0, "B")]
+    cu = spark.createDataFrame(rows, "c_custkey bigint, c_acctbal double, c_mktsegment string")
+    got = {r["c_custkey"]: (r["balance_quartile"], r["segment_rank"]) for r in _ntile4_dense(cu).collect()}
+    # order: 100,90,75,60,50,25,NULL(3),NULL(4) -> quartiles of n=8: 2 each
+    assert got == {
+        1: (1, 1), 8: (1, 2), 5: (2, 1), 7: (2, 1),
+        2: (3, 2), 6: (3, 2), 3: (4, 1), 4: (4, 2),
+    }
+
+    empty = _ntile4_dense(cu.where("false"))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "c_custkey", "c_acctbal", "balance_quartile", "segment_rank"
+    ]
