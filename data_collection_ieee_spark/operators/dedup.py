@@ -734,13 +734,18 @@ def connected_components(
         .persist()
     )
     deg = edges.groupBy("v").agg(F.count("*").alias("deg"))
-    hot_nodes = deg.filter(F.col("deg") >= hot_degree).select("v")
-    # tiny by construction; the 1-row check below also materializes it
-    edges_hot = edges.join(F.broadcast(hot_nodes), "v").persist()
-    has_hot = edges_hot.limit(1).count() > 0
-    edges_cold = (
-        edges.join(F.broadcast(hot_nodes), "v", "left_anti").persist() if has_hot else edges
-    )
+    # ONE tiny job decides whether a hot split is needed at all (it also
+    # materializes the edges cache); the common no-hub case then runs
+    # the loop on the plain edge list with zero extra plumbing
+    max_deg = (deg.agg(F.max("deg").alias("m")).first()["m"]) or 0
+    has_hot = max_deg >= hot_degree
+    if has_hot:
+        hot_nodes = deg.filter(F.col("deg") >= hot_degree).select("v")
+        # tiny by construction: ≤ |E|/hot_degree rows
+        edges_hot = edges.join(F.broadcast(hot_nodes), "v").persist()
+        edges_cold = edges.join(F.broadcast(hot_nodes), "v", "left_anti").persist()
+    else:
+        edges_cold = edges
 
     labels = persist_tracked(nodes.withColumn("cluster_id", F.col("doc_id")))
     cached = labels
@@ -792,7 +797,7 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
-    edges_hot.unpersist()
     if has_hot:
+        edges_hot.unpersist()
         edges_cold.unpersist()
     return labels
