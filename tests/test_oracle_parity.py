@@ -80,3 +80,34 @@ def test_partitioned_scan_prunes_directories(spark, sf_dir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
     assert m and "lang" in m.group(1), txt
+
+
+def test_topk_queries_have_bounded_plans(spark, sf_dir):
+    """Every top-k-shaped query must compile to a heap-based
+    TakeOrderedAndProject, and NO query plan may contain an unbounded
+    partitionBy-less Window (the single-partition sort scale-killer
+    removed in round 5). Reuses the auditor's detector so pytest and
+    tools/plan_audit.py cannot drift apart."""
+    import io
+    from contextlib import redirect_stdout
+
+    from data_collection_ieee_spark import registry
+    from tools.plan_audit import _has_unbounded_global_window
+
+    for name in ("sim_cosine_topk", "sim_ann_ivf", "sim_ann_hyperplane", "topk_limit"):
+        df = registry.QUERIES[name](spark, sf_dir)
+        df.collect()  # AQE: final plan only exists after execution
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        txt = buf.getvalue()
+        assert "TakeOrderedAndProject" in txt, f"{name}: top-k not heap-based"
+        assert not _has_unbounded_global_window(txt), f"{name}: unbounded global window"
+
+    # sort_multi encodes a total order yet must also avoid the pattern
+    df = registry.QUERIES["sort_multi"](spark, sf_dir)
+    df.collect()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    assert not _has_unbounded_global_window(buf.getvalue())
