@@ -309,10 +309,17 @@ def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression over them — bit-identical on any partitioning, any
     engine. Still one map-side-combined aggregate at scale."""
     li = load_table(spark, sf_dir, "lineitem")
-    x = dec("l_quantity")
-    y = dec("l_extendedprice")
     big = "decimal(30,4)"
-    s = li.groupBy("l_returnflag").agg(
+    # hoist the double→decimal casts into ONE projection so each row
+    # pays two casts, not six: the five moment aggregates then reference
+    # the bound attributes instead of re-evaluating dec() per expression
+    proj = li.select(
+        "l_returnflag",
+        dec("l_quantity").alias("xd"),
+        dec("l_extendedprice").alias("yd"),
+    )
+    x, y = F.col("xd"), F.col("yd")
+    s = proj.groupBy("l_returnflag").agg(
         F.count("*").cast("double").alias("n"),
         F.sum(x).cast("double").alias("sx"),
         F.sum(y).cast("double").alias("sy"),
