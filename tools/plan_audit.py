@@ -213,7 +213,9 @@ def main() -> int:
         f.write("Heuristic flags: SCAN_WIDE (column pruning failed), NO_PUSHDOWN "
                 "(predicates not reaching the scan), CARTESIAN (unintended nested-loop), "
                 "NO_BROADCAST_DIM (dimension join not broadcast), NO_CODEGEN "
-                "(fully interpreted plan without a Python stage to excuse it).\n\n")
+                "(fully interpreted plan without a Python stage to excuse it), "
+                "GLOBAL_WINDOW (unbounded partitionBy-less window — single-partition "
+                "sort of its whole input).\n\n")
         f.write("| query | audit |\n|---|---|\n")
         for name, status in rows:
             f.write(f"| `{name}` | {status} |\n")
