@@ -257,3 +257,63 @@ def test_ntile_dense_null_balances_and_empty_input(spark):
     assert [f.name for f in empty.schema.fields] == [
         "c_custkey", "c_acctbal", "balance_quartile", "segment_rank"
     ]
+
+
+_edge = st.tuples(st.integers(0, 30), st.integers(0, 30))
+_edges = st.lists(_edge, max_size=40)
+
+
+@given(edges=_edges)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_cc_matches_union_find_on_random_graphs(spark, edges):
+    """connected_components == a driver-side union-find on arbitrary
+    random graphs (self-loops, duplicate edges, isolated nodes)."""
+    from data_collection_ieee_spark.operators.dedup import connected_components
+
+    nodes = sorted({n for e in edges for n in e} | {777})  # 777 always isolated
+    pairs = spark.createDataFrame(edges or [(0, 0)], "a_id bigint, b_id bigint")
+    if not edges:
+        pairs = pairs.where("false")
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "doc_id bigint")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(spark, pairs, nodes_df).collect()}
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    want = {m: min(ms) for ms in comp.values() for m in ms}
+    assert got == want
+
+
+_shingle_set = st.sets(st.integers(0, 25), min_size=1, max_size=12)
+_docs = st.lists(_shingle_set, min_size=2, max_size=10)
+
+
+@given(docs=_docs)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_jaccard_paths_agree_on_random_shingle_sets(spark, docs):
+    """Prefix-filter and count-join candidate generation must yield the
+    same verified pair set on arbitrary small-universe shingle sets
+    (high overlap by construction — the prefix theorem's stress zone)."""
+    from data_collection_ieee_spark.operators.dedup import _jaccard_pairs
+
+    sh = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in enumerate(docs)], "doc_id bigint, hs array<bigint>"
+    )
+    full = sorted(tuple(r) for r in _jaccard_pairs(spark, sh, force_prefix=False).collect())
+    pref = sorted(tuple(r) for r in _jaccard_pairs(spark, sh, force_prefix=True).collect())
+    assert full == pref
