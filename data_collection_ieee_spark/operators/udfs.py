@@ -48,8 +48,11 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowercase words + spaces — since quote() escapes only the space.)
     """
 
+    # no type hints on purpose: F.udf treats `str -> str` hints as an
+    # Arrow-UDF eval-type inference request and warns it cannot infer;
+    # the explicit StringType() return type is the whole contract here
     @F.udf(StringType())
-    def url_encode(s: str) -> str:
+    def url_encode(s):
         return quote(s) if s is not None else None
 
     docs = load_table(spark, sf_dir, "documents")
