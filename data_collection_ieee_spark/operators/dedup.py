@@ -544,11 +544,30 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
        matmul of the two lists (upper triangle for self-pairs). Every
        qualifying pair is scored in exactly one group, so no
        dedup/distinct pass is needed. Compute is distributed across
-       list pairs; per-task memory is two lists (sub-block the lists
-       by vec_id%S for a finer grain at extreme list sizes).
+       list pairs. Lists larger than `block_target` rows are SUB-BLOCKED
+       (deterministic xxhash64(vec_id) mod n_sub): a (list_i, list_j)
+       pair expands to n_i×n_j rectangle groups (triangle over
+       sub-block pairs within a list), so per-task memory is bounded by
+       two sub-blocks no matter how big a list grows at 100 TB, and the
+       rectangle/triangle group roles are exactly the ones the kernel
+       already handles — results are provably identical to the
+       unblocked form (every vector pair lands in exactly one group;
+       tested in tests/test_llm_ops.py). The driver corpora sit far
+       below the target, so the default path is single-block.
 
     Oracle: the exact all-pairs threshold join — this plan must and
     does reproduce it bit-for-bit at the 4-decimal rounding."""
+    return _embed_cosine_pairs(spark, sf_dir)
+
+
+_BLOCK_ROWS_TARGET = 4096  # max vectors per applyInPandas sub-block side
+
+
+def _embed_cosine_pairs(
+    spark: SparkSession, sf_dir: str, block_target: int = _BLOCK_ROWS_TARGET
+) -> DataFrame:
+    import math
+
     import numpy as np
 
     n_lists = 16
@@ -590,13 +609,23 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # --- 3. list radii (tiny collect: ≤16 rows) → admissible list pairs
-    radii_rows = assigned.groupBy("list_id").agg(F.min("own_cos").alias("c")).collect()
-    radius = {r["list_id"]: float(np.arccos(np.clip(r["c"], -1.0, 1.0))) for r in radii_rows}
+    # --- 3. list radii + sizes (tiny collect: ≤16 rows, one job) →
+    # admissible list pairs, expanded to sub-block granularity
+    stat_rows = (
+        assigned.groupBy("list_id")
+        .agg(F.min("own_cos").alias("c"), F.count("*").alias("cnt"))
+        .collect()
+    )
+    radius = {r["list_id"]: float(np.arccos(np.clip(r["c"], -1.0, 1.0))) for r in stat_rows}
+    nsub = {
+        r["list_id"]: max(1, math.ceil(r["cnt"] / block_target)) for r in stat_rows
+    }
     theta_thr = float(np.arccos(thr))
     cc = (cents @ cents.T) / np.outer(cent_norms, cent_norms)
     live = sorted(radius)
-    admissible = []  # (pair_id, member_list, side): 'a'/'b' roles, 's' = self
+    # (pair_id, member_list, member_sub, side): 'a'/'b' rectangle roles,
+    # 's' = a sub-block paired with itself (triangle)
+    admissible = []
     pid = 0
     for ii, i in enumerate(live):
         for j in live[ii:]:
@@ -604,18 +633,35 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             if ang > theta_thr + radius[i] + radius[j]:
                 continue  # triangle inequality: no qualifying pair can span i,j
             if i == j:
-                admissible.append((pid, i, "s"))
+                # triangle over sub-block pairs: (bi, bi) self, (bi, bj) rect
+                for bi in range(nsub[i]):
+                    for bj in range(bi, nsub[i]):
+                        if bi == bj:
+                            admissible.append((pid, i, bi, "s"))
+                        else:
+                            admissible.append((pid, i, bi, "a"))
+                            admissible.append((pid, i, bj, "b"))
+                        pid += 1
             else:
-                admissible.append((pid, i, "a"))
-                admissible.append((pid, j, "b"))
-            pid += 1
+                for bi in range(nsub[i]):
+                    for bj in range(nsub[j]):
+                        admissible.append((pid, i, bi, "a"))
+                        admissible.append((pid, j, bj, "b"))
+                        pid += 1
     pairs_df = spark.createDataFrame(
-        admissible, schema="pair_id int, member_list int, side string"
+        admissible, schema="pair_id int, member_list int, member_sub int, side string"
     )
 
-    # --- 4. per-list-pair block matmul
-    rep = assigned.join(
-        F.broadcast(pairs_df), assigned.list_id == pairs_df.member_list
+    # --- 4. per-block-pair matmul (sub_id: deterministic hash mod n_sub,
+    # so membership never depends on row order or partitioning)
+    nsub_map = F.create_map(*[F.lit(x) for kv in nsub.items() for x in kv])
+    sub_assigned = assigned.withColumn(
+        "sub_id", F.pmod(F.xxhash64("vec_id"), F.element_at(nsub_map, F.col("list_id"))).cast("int")
+    )
+    rep = sub_assigned.join(
+        F.broadcast(pairs_df),
+        (sub_assigned.list_id == pairs_df.member_list)
+        & (sub_assigned.sub_id == pairs_df.member_sub),
     ).select("pair_id", "side", "vec_id", "embedding")
 
     def block_pairs(pdf_in: pd.DataFrame) -> pd.DataFrame:

@@ -252,3 +252,20 @@ def test_jaccard_adaptive_switch_thresholds(spark):
     forced = dedup._jaccard_pairs(spark, sh)  # now takes the prefix path
     assert forced.count() == 200
     dedup._MAXDF_CACHE.clear()
+
+
+def test_embed_cosine_subblocking_matches_unblocked(spark, sf_dir):
+    """Forcing tiny sub-blocks (block_target=8 → many rectangle/triangle
+    groups per list pair) must reproduce the unblocked pair set exactly —
+    the bounded-task-memory path for giant IVF lists at scale."""
+    from data_collection_ieee_spark.operators import dedup
+
+    base = sorted(
+        tuple(r) for r in dedup._embed_cosine_pairs(spark, sf_dir).collect()
+    )
+    blocked = sorted(
+        tuple(r)
+        for r in dedup._embed_cosine_pairs(spark, sf_dir, block_target=8).collect()
+    )
+    assert base == blocked
+    assert len(base) > 0  # fixture guarantees qualifying pairs
