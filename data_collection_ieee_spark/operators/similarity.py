@@ -337,3 +337,95 @@ def sim_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(TOP_K)
     w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return topk.withColumn("rank", F.row_number().over(w).cast("int")).orderBy("rank")
+
+
+_KNN_QMOD = 50  # every 50th vec_id is a query vector
+_KNN_K = 5
+
+
+@query(
+    "sim_knn_join",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % {_KNN_QMOD} = 0),
+b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_KNN_QMOD} <> 0),
+scored AS (
+  SELECT q.q_id, b.vec_id,
+         round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                      CAST(q.qe AS DOUBLE[])), 4) + 0.0 AS cos_sim
+  FROM b, q
+)
+SELECT q_id, vec_id, cos_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {_KNN_K}
+""",
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN join — the many-probe generalization of
+    `sim_cosine_topk`: exact cosine top-k neighbors for EVERY query
+    vector (vec_id % 50 == 0) against the rest of the corpus, the
+    retrieval primitive behind near-dup mining and eval-neighbor
+    audits.
+
+    Scale shape (two-phase, never a global sort):
+    1. The query matrix is collected once (a KNN join's query side is
+       the small side by definition — Q×64 floats, same bounded-
+       metadata pattern as sim_ann_ivf's centroid table) and closed
+       over an Arrow `mapInPandas` kernel: one numpy matmul per batch
+       scores batch×Q, and each batch emits only its LOCAL top-k per
+       query (≤ Q·K rows per batch — associative because selection
+       and the final window use the same (rounded cos desc, vec_id)
+       key).
+    2. A window partitioned BY QUERY over the surviving
+       Q·K·n_batches rows picks the global top-k — shuffle volume
+       Q·K·partitions, independent of corpus size; never a
+       partitionBy-less window (tools/plan_audit.py enforces).
+    Rounding uses half-away-from-zero via sign(x)*floor(|x|·1e4+0.5)
+    to match Spark/DuckDB ROUND instead of numpy's banker's rounding.
+    At very large Q the collect switches to a broadcast-join of a
+    query table against per-list candidates (the sim_ann_ivf index) —
+    the kernel is unchanged."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = (
+        emb.filter(F.col("vec_id") % _KNN_QMOD == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qm = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+    q_norms = np.linalg.norm(qm, axis=1)
+
+    def _round_half_away(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4 + 0.0
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            cos = (m @ qm.T) / (
+                np.linalg.norm(m, axis=1)[:, None] * q_norms[None, :] + 1e-300
+            )
+            cos = _round_half_away(cos)
+            vids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_c = [], [], []
+            for j in range(len(q_ids)):
+                order = np.lexsort((vids, -cos[:, j]))[:_KNN_K]
+                out_q.extend([q_ids[j]] * len(order))
+                out_v.extend(vids[order])
+                out_c.extend(cos[order, j])
+            yield pd.DataFrame({"q_id": out_q, "vec_id": out_v, "cos_sim": out_c})
+
+    local = (
+        emb.filter(F.col("vec_id") % _KNN_QMOD != 0)
+        .select("vec_id", "embedding")
+        .mapInPandas(local_topk, schema="q_id bigint, vec_id bigint, cos_sim double")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("q_id", "vec_id", "cos_sim", "rank")
+    )

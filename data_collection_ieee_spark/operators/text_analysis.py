@@ -370,3 +370,84 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("raw", F.lit(email_pat)).cast("int").alias("n_emails"),
         F.regexp_count("raw", F.lit(phone_pat)).cast("int").alias("n_phones"),
     )
+
+
+_REP_TOP_TOK_PCT = 12  # flag if the most common token exceeds 12% of tokens
+_REP_DUP_BIGRAM_PCT = 5  # flag if >5% of bigrams are repeats
+
+
+@query(
+    "text_repetition_signals",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+sig AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(list_max(list_transform(list_distinct(toks),
+         u -> len(list_filter(toks, x -> x = u)))) AS BIGINT) AS top_tok_cnt,
+    CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
+    CAST((len(toks) - 1) - len(list_distinct(list_transform(range(1, len(toks)),
+         i -> array_to_string(list_slice(toks, i, i+1), ' ')))) AS BIGINT) AS dup_bigram_cnt
+  FROM t
+)
+SELECT doc_id, n_tokens, top_tok_cnt, n_bigrams, dup_bigram_cnt,
+       CASE WHEN 100 * top_tok_cnt > {_REP_TOP_TOK_PCT} * n_tokens THEN 'repetitive_tokens'
+            WHEN 100 * dup_bigram_cnt > {_REP_DUP_BIGRAM_PCT} * n_bigrams THEN 'repetitive_bigrams'
+            ELSE 'keep' END AS verdict
+FROM sig
+""",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    per document, the count of the single most frequent token and the
+    number of duplicated word bigrams, plus a keep/flag verdict from
+    integer threshold tests (100*cnt > pct*total — no float ratios, so
+    the hash can't drift on rounding).
+
+    Everything is computed IN-ROW with higher-order functions
+    (array_distinct / filter / transform over the token array) — zero
+    shuffles, one narrow codegen'd pass, embarrassingly parallel at any
+    scale. The top-token count is O(u·n) per row (u = distinct tokens),
+    the right trade below ~10k-token docs; book-length documents would
+    switch to the explode + groupBy(doc_id, token) + max formulation,
+    one map-side-combined shuffle, same outputs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sig = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda u: F.size(F.filter(toks, lambda x: x == u)),
+            )
+        ).cast("long").alias("top_tok_cnt"),
+        (F.size(toks) - 1).cast("long").alias("n_bigrams"),
+        ((F.size(toks) - 1) - F.size(F.array_distinct(bigrams)))
+        .cast("long")
+        .alias("dup_bigram_cnt"),
+    )
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        "top_tok_cnt",
+        "n_bigrams",
+        "dup_bigram_cnt",
+        F.when(
+            100 * F.col("top_tok_cnt") > _REP_TOP_TOK_PCT * F.col("n_tokens"),
+            F.lit("repetitive_tokens"),
+        )
+        .when(
+            100 * F.col("dup_bigram_cnt") > _REP_DUP_BIGRAM_PCT * F.col("n_bigrams"),
+            F.lit("repetitive_bigrams"),
+        )
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )

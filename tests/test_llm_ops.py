@@ -269,3 +269,124 @@ def test_embed_cosine_subblocking_matches_unblocked(spark, sf_dir):
     )
     assert base == blocked
     assert len(base) > 0  # fixture guarantees qualifying pairs
+
+
+def test_knn_join_matches_bruteforce(spark, sf_dir):
+    """sim_knn_join's two-phase (batch-local top-k → per-query window)
+    result must equal a driver-side exact brute force, including the
+    (rounded cos desc, vec_id) tie-break."""
+    import numpy as np
+
+    from data_collection_ieee_spark.catalog import load_table
+    from data_collection_ieee_spark.operators.similarity import _KNN_K, _KNN_QMOD
+
+    rows = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    vids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(m, axis=1)
+    is_q = vids % _KNN_QMOD == 0
+
+    expected = set()
+    for qi in np.where(is_q)[0]:
+        cos = (m[~is_q] @ m[qi]) / (norms[~is_q] * norms[qi])
+        cos = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
+        bvids = vids[~is_q]
+        order = np.lexsort((bvids, -cos))[:_KNN_K]
+        for rank, bi in enumerate(order, start=1):
+            expected.add((int(vids[qi]), int(bvids[bi]), float(cos[bi] + 0.0), rank))
+
+    got = {
+        (r["q_id"], r["vec_id"], r["cos_sim"], r["rank"])
+        for r in _rows("sim_knn_join", spark, sf_dir)
+    }
+    assert got == expected
+
+
+def test_knn_join_batch_associativity(spark, sf_dir):
+    """Phase-1 local top-k must be associative: shrinking the Arrow
+    batch size (many more local top-k merges) cannot change the
+    result."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    baseline = sorted(
+        map(tuple, _rows("sim_knn_join", spark, sf_dir))
+    )
+    old = spark.conf.get(key)
+    spark.conf.set(key, "37")
+    try:
+        tiny_batches = sorted(map(tuple, _rows("sim_knn_join", spark, sf_dir)))
+    finally:
+        spark.conf.set(key, old)
+    assert tiny_batches == baseline
+
+
+def test_decontaminate_matches_bruteforce(spark, sf_dir):
+    """pipeline_decontaminate == a driver-side set-overlap reference:
+    same contaminated doc set, same distinct-8-gram counts."""
+    import hashlib
+
+    from data_collection_ieee_spark.catalog import load_table
+    from data_collection_ieee_spark.operators.pipeline import (
+        _DECON_EVAL_PCT,
+        _DECON_NGRAM,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+
+    def ngrams(text: str) -> set:
+        t = text.split(" ")
+        return {
+            " ".join(t[i : i + _DECON_NGRAM])
+            for i in range(len(t) - _DECON_NGRAM + 1)
+        }
+
+    ev = set()
+    train = {}
+    for r in docs:
+        ngs = ngrams(r["text"])
+        if len(r["text"].split(" ")) < _DECON_NGRAM:
+            continue
+        if bucket(r["doc_id"]) < _DECON_EVAL_PCT:
+            ev |= ngs
+        else:
+            train[r["doc_id"]] = ngs
+    expected = {
+        (d, len(ngs), len(ngs & ev)) for d, ngs in train.items() if ngs & ev
+    }
+
+    got = {
+        (r["doc_id"], r["n_doc_ngrams"], r["n_shared_ngrams"])
+        for r in _rows("pipeline_decontaminate", spark, sf_dir)
+    }
+    assert got == expected
+
+
+def test_repetition_signals_reference(spark, sf_dir):
+    """text_repetition_signals == an independent per-doc Python
+    reference (third implementation besides Spark and DuckDB)."""
+    from collections import Counter
+
+    from data_collection_ieee_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expected = {}
+    for r in docs:
+        t = r["text"].split(" ")
+        bigrams = [" ".join(t[i : i + 2]) for i in range(len(t) - 1)]
+        expected[r["doc_id"]] = (
+            len(t),
+            max(Counter(t).values()),
+            len(bigrams),
+            len(bigrams) - len(set(bigrams)),
+        )
+
+    for r in _rows("text_repetition_signals", spark, sf_dir):
+        exp = expected[r["doc_id"]]
+        assert (
+            r["n_tokens"],
+            r["top_tok_cnt"],
+            r["n_bigrams"],
+            r["dup_bigram_cnt"],
+        ) == exp, r["doc_id"]
