@@ -741,6 +741,30 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 HOT_DEGREE = 1024  # in-degree above which a node's label is broadcast
 
 
+_CKPT_TRACKED: list = []
+
+
+@on_release
+def _release_tracked_checkpoints() -> None:
+    for _df in _CKPT_TRACKED:
+        _free_local_checkpoint(_df)
+    _CKPT_TRACKED.clear()
+
+
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort eager release of a localCheckpoint's storage.
+    DataFrame.unpersist() only consults the CacheManager, which never
+    sees checkpoint blocks — the owner is the RDD inside the plan's
+    LogicalRDD leaf, reached here through the query execution handle.
+    The frame is unusable afterwards (no lineage to recompute), so only
+    superseded rounds go through this; ContextCleaner remains the
+    backstop if the internal accessor ever shifts."""
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     spark: SparkSession,
     pairs: DataFrame,
@@ -773,7 +797,20 @@ def connected_components(
     is already safe: Spark's partial aggregation combines map-side, so
     no reducer sees a hub's full fan-in. (The classic alternative is
     large-star/small-star alternation; the split keeps the
-    convergence-in-the-aggregate trick and touches only the join.)"""
+    convergence-in-the-aggregate trick and touches only the join.)
+
+    Lineage truncation (round 5, hypothesis-caught): each round's plan
+    embeds the previous round's plan two to three times over (labels
+    feeds the cold join, the hot broadcast, AND the merge union), so
+    with persist alone the LOGICAL plan grows as ~3^rounds even though
+    the data is cached — at graph diameter ≳10 the driver OOMs just
+    building plan strings, before one task runs. Every round therefore
+    goes through localCheckpoint(eager=True), which materializes the
+    same data persist did AND cuts the plan back to a LogicalRDD leaf:
+    plan size is O(1) per round at any diameter. On a cluster the same
+    truncation would ride reliable checkpoint() against the checkpoint
+    dir (executor loss can't recompute a localCheckpoint); the loop
+    structure is unchanged either way."""
     edges = (
         pairs.union(pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")))
         .withColumnsRenamed({"a_id": "u", "b_id": "v"})
@@ -794,7 +831,8 @@ def connected_components(
         edges_cold = edges
 
     labels = persist_tracked(nodes.withColumn("cluster_id", F.col("doc_id")))
-    cached = labels
+    cached = labels  # round-0 persisted frame; superseded after round 1
+    ckpt = None  # previous round's localCheckpoint, freed when superseded
     for _ in range(max_rounds):
         # Convergence detection rides INSIDE the propagation aggregate:
         # each node's own row is tagged, so the same groupBy that takes
@@ -832,13 +870,18 @@ def connected_components(
                 (F.col("cluster_id") < F.col("_old")).alias("_changed"),
             )
         )
-        merged = persist_tracked(merged)
+        # materializes the round AND truncates lineage (docstring above)
+        merged = merged.localCheckpoint(eager=True)
         changed = merged.filter(F.col("_changed")).limit(1).count()
-        # the count above materialized merged, so the superseded round's
-        # cache can go — keeps executor storage at ≤2 label tables
+        # the checkpoint materialized merged, so the superseded round's
+        # storage can go — keeps executor storage at ≤2 label tables
         # however many rounds convergence takes
-        cached.unpersist()
-        cached = merged
+        if cached is not None:
+            cached.unpersist()
+            cached = None
+        if ckpt is not None:
+            _free_local_checkpoint(ckpt)
+        ckpt = merged
         labels = merged.select("doc_id", "cluster_id")
         if changed == 0:
             break
@@ -846,4 +889,8 @@ def connected_components(
     if has_hot:
         edges_hot.unpersist()
         edges_cold.unpersist()
+    if ckpt is not None:
+        # the returned labels read the final round's checkpoint blocks;
+        # release_caches() frees them with everything else
+        _CKPT_TRACKED.append(ckpt)
     return labels
