@@ -776,12 +776,15 @@ def connected_components(
     undirected (a_id, b_id) pair list; returns (doc_id, cluster_id) for
     every node in `nodes` (isolated nodes label themselves).
 
-    Iterative min-label propagation: each round joins current labels
-    across edges and keeps the per-node min; the loop stops when a
-    round changes nothing. Rounds needed = O(graph diameter); duplicate
-    clusters are near-cliques (diameter 1-2), and the cap of
-    `max_rounds` covers any pathological chain. Each round is one
-    shuffle join + one aggregate — fully distributed; the only
+    Iterative min-label propagation with pointer jumping: each round
+    joins current labels across edges, keeps the per-node min, then
+    shortcuts L[x] <- min(L[x], L[L[x]]). Propagation extends a
+    label's reach one hop; the jump doubles chains, so rounds needed
+    are O(log diameter) — `max_rounds`=15 covers diameter ~2^15
+    (propagation alone needed d rounds and silently mislabeled a
+    40-node chain). Duplicate clusters are near-cliques (diameter
+    1-2, converge in 2-3 rounds). Each round is one shuffle join, one
+    aggregate, and one label self-join — fully distributed; the only
     driver-side values are the has-hot-keys flag and the converged?
     count.
 
@@ -856,7 +859,7 @@ def connected_components(
                     F.lit(False).alias("_self"),
                 )
             )
-        merged = (
+        stepped = (
             labels.select("doc_id", "cluster_id", F.lit(True).alias("_self"))
             .unionByName(prop)
             .groupBy("doc_id")
@@ -864,23 +867,51 @@ def connected_components(
                 F.min("cluster_id").alias("cluster_id"),
                 F.min(F.when(F.col("_self"), F.col("cluster_id"))).alias("_old"),
             )
+        )
+        # materializes the half-round AND truncates lineage (docstring
+        # above); also lets the self-join below read the aggregate once
+        # instead of recomputing it on both join sides
+        stepped = stepped.localCheckpoint(eager=True)
+        # Pointer jump (round-5 fix): edge propagation alone moves a
+        # label ONE hop per round, so a component of diameter d needs d
+        # rounds — a 40-node chain silently exceeded max_rounds and
+        # kept wrong labels. Following each propagation with a label
+        # shortcut L[x] <- min(L[x], L[L[x]]) contracts label chains
+        # geometrically (propagate extends reach, jump doubles it), so
+        # max_rounds=15 now covers diameter ~2^15 instead of 15. The
+        # lookup side is unique on its key; the probe side's key skew
+        # (a giant component funneling onto one label) is exactly the
+        # shape AQE's skew-join splitting handles, since the unique
+        # build side can be replicated per split.
+        lut = stepped.select(
+            F.col("doc_id").alias("_jd"), F.col("cluster_id").alias("_jc")
+        )
+        merged = (
+            stepped.join(lut, stepped.cluster_id == F.col("_jd"), "left")
             .select(
                 "doc_id",
-                "cluster_id",
-                (F.col("cluster_id") < F.col("_old")).alias("_changed"),
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_jc"), F.col("cluster_id"))
+                ).alias("_new"),
+                "_old",
+            )
+            .select(
+                "doc_id",
+                F.col("_new").alias("cluster_id"),
+                (F.col("_new") < F.col("_old")).alias("_changed"),
             )
         )
-        # materializes the round AND truncates lineage (docstring above)
         merged = merged.localCheckpoint(eager=True)
         changed = merged.filter(F.col("_changed")).limit(1).count()
-        # the checkpoint materialized merged, so the superseded round's
-        # storage can go — keeps executor storage at ≤2 label tables
-        # however many rounds convergence takes
+        # the checkpoints materialized the round, so the superseded
+        # round's storage can go — keeps executor storage at ≤2 label
+        # tables however many rounds convergence takes
         if cached is not None:
             cached.unpersist()
             cached = None
         if ckpt is not None:
             _free_local_checkpoint(ckpt)
+        _free_local_checkpoint(stepped)
         ckpt = merged
         labels = merged.select("doc_id", "cluster_id")
         if changed == 0:

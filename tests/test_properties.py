@@ -213,6 +213,27 @@ def test_cc_10k_node_hub_component_converges(spark):
     assert labels[30_000] == 30_000 and labels[30_001] == 30_001
 
 
+def test_cc_long_chain_exceeding_round_cap_in_hops(spark):
+    """A 200-node path graph has diameter 199 — far beyond
+    max_rounds=15 in PROPAGATION hops. Pointer jumping contracts label
+    chains geometrically, so the cap must still suffice; every node
+    must end at label 0 (plain propagation silently returned partial
+    labels here)."""
+    from data_collection_ieee_spark.operators.dedup import connected_components
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id bigint, b_id bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(spark, pairs, nodes).collect()
+    }
+    assert len(labels) == n
+    assert all(v == 0 for v in labels.values())
+
+
 def test_cc_cold_path_matches_hot_path(spark):
     """The degree split is an execution detail: forcing every edge down
     the hot path (hot_degree=1) must give identical labels to the pure
