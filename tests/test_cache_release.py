@@ -60,3 +60,21 @@ def test_second_sf_dir_does_not_accumulate(spark):
 def test_release_is_idempotent_and_safe_when_empty(spark):
     catalog.release_caches()
     assert catalog.release_caches() == 0
+
+
+def test_cc_checkpoints_released(spark):
+    """connected_components rounds go through localCheckpoint, whose
+    blocks the CacheManager never sees; superseded rounds free theirs
+    eagerly and the final round's blocks must go with release_caches().
+    Storage must return to base — no checkpoint leak per campaign."""
+    catalog.release_caches()
+    base = _n_persistent(spark)
+
+    edges = [(i, i + 1) for i in range(30)]
+    pairs = spark.createDataFrame(edges, "a_id bigint, b_id bigint")
+    nodes = spark.createDataFrame([(i,) for i in range(31)], "doc_id bigint")
+    dedup.connected_components(spark, pairs, nodes).count()
+    assert _n_persistent(spark) > base  # final round's checkpoint live
+
+    catalog.release_caches()
+    assert _n_persistent(spark) == base
