@@ -393,6 +393,10 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
+    if not q_rows:  # no query vectors in this corpus — shaped empty result
+        return spark.createDataFrame(
+            [], "q_id bigint, vec_id bigint, cos_sim double, rank int"
+        )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     qm = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
     q_norms = np.linalg.norm(qm, axis=1)
