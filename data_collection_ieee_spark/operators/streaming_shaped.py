@@ -235,3 +235,81 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "offset_d")
         .agg(F.count("*").cast("int").alias("n_users"))
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY event_type, day
+),
+mom AS (
+  SELECT event_type,
+         COUNT(*) AS n_days,
+         SUM(n_events) AS s1,
+         SUM(n_events * n_events) AS s2
+  FROM daily GROUP BY event_type
+),
+scored AS (
+  SELECT d.event_type, d.day, d.n_events,
+         CASE WHEN m.s2 * m.n_days = m.s1 * m.s1 THEN 0.0
+              ELSE round((CAST(d.n_events AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.n_days)
+                   / sqrt(CAST(m.s2 AS DOUBLE) / m.n_days
+                          - (CAST(m.s1 AS DOUBLE) / m.n_days) * (CAST(m.s1 AS DOUBLE) / m.n_days)),
+                   4) + 0.0
+         END AS z_score
+  FROM daily d JOIN mom m USING (event_type)
+)
+SELECT event_type, day, n_events, z_score, abs(z_score) > 2.0 AS is_anomaly
+FROM scored
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection per event type — the monitoring
+    query behind every event pipeline: z-score each (type, day) count
+    against that type's own daily distribution, flag |z| > 2.
+
+    Determinism device: the moments are INTEGER sums of integer daily
+    counts (s1, s2), so mean/variance derive from exact integers and
+    the only float ops are two divisions, one sqrt and one subtraction
+    in the same order on both engines; the zero-variance guard is an
+    exact integer identity (s2·n = s1²), and the anomaly flag compares
+    the already-rounded z — no epsilon, no float-accum drift anywhere.
+
+    Scale shape: one map-side-combined groupBy over (type, day) — the
+    only corpus-sized shuffle; the per-type moment table is |types|
+    rows and broadcasts back onto the tiny daily frame. No windows, no
+    skewed keys (a hot event type is combined map-side before it ever
+    crosses the wire)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("n_events"))
+    mom = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_days")
+    z = F.when(
+        F.col("s2") * F.col("n_days") == F.col("s1") * F.col("s1"), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            (F.col("n_events").cast("double") - mean)
+            / F.sqrt(F.col("s2").cast("double") / F.col("n_days") - mean * mean),
+            4,
+        )
+        + F.lit(0.0)
+    )
+    scored = (
+        daily.join(F.broadcast(mom), "event_type")
+        .select("event_type", "day", "n_events", z.alias("z_score"))
+    )
+    return scored.select(
+        "event_type",
+        "day",
+        "n_events",
+        "z_score",
+        (F.abs("z_score") > F.lit(2.0)).alias("is_anomaly"),
+    )

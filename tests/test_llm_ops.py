@@ -390,3 +390,35 @@ def test_repetition_signals_reference(spark, sf_dir):
             r["n_bigrams"],
             r["dup_bigram_cnt"],
         ) == exp, r["doc_id"]
+
+
+def test_anomaly_zscore_matches_numpy_reference(spark, sf_dir):
+    """events_anomaly_zscore == an independent numpy population-z
+    reference computed from the same (type, day) counts."""
+    from collections import Counter
+
+    import numpy as np
+
+    from data_collection_ieee_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "cast(ts as date) as day"
+    ).collect()
+    counts = Counter((r["event_type"], r["day"]) for r in ev)
+    by_type: dict = {}
+    for (t, d), n in counts.items():
+        by_type.setdefault(t, []).append(n)
+
+    got = {
+        (r["event_type"], r["day"]): (r["n_events"], r["z_score"], r["is_anomaly"])
+        for r in _rows("events_anomaly_zscore", spark, sf_dir)
+    }
+    assert len(got) == len(counts)
+    for (t, d), n in counts.items():
+        arr = np.array(by_type[t], dtype=np.float64)
+        std = arr.std()  # population
+        z = 0.0 if std == 0 else round((n - arr.mean()) / std, 4) + 0.0
+        gn, gz, ga = got[(t, d)]
+        assert gn == n
+        assert abs(gz - z) <= 1e-9, (t, d, gz, z)
+        assert ga == (abs(gz) > 2.0)
