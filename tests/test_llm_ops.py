@@ -303,20 +303,20 @@ def test_knn_join_matches_bruteforce(spark, sf_dir):
 
 
 def test_knn_join_batch_associativity(spark, sf_dir):
-    """Phase-1 local top-k must be associative: shrinking the Arrow
-    batch size (many more local top-k merges) cannot change the
-    result."""
-    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    baseline = sorted(
-        map(tuple, _rows("sim_knn_join", spark, sf_dir))
+    """Phase-1 block-local top-k must be associative: changing the
+    block count (many more / fewer local top-k merges, different
+    base-row groupings) cannot change the result. n_blocks=1 is the
+    degenerate single-merge case; 97 far exceeds the row count per
+    block at sf0.001."""
+    from data_collection_ieee_spark.operators.similarity import _knn_join_impl
+
+    baseline = sorted(map(tuple, _rows("sim_knn_join", spark, sf_dir)))
+    one_block = sorted(map(tuple, _knn_join_impl(spark, sf_dir, n_blocks=1).collect()))
+    many_blocks = sorted(
+        map(tuple, _knn_join_impl(spark, sf_dir, n_blocks=97).collect())
     )
-    old = spark.conf.get(key)
-    spark.conf.set(key, "37")
-    try:
-        tiny_batches = sorted(map(tuple, _rows("sim_knn_join", spark, sf_dir)))
-    finally:
-        spark.conf.set(key, old)
-    assert tiny_batches == baseline
+    assert one_block == baseline
+    assert many_blocks == baseline
 
 
 def test_decontaminate_matches_bruteforce(spark, sf_dir):

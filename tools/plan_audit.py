@@ -118,6 +118,14 @@ def audit_one(name: str, df) -> tuple[list[str], str]:
     if _has_unbounded_global_window(txt):
         flags.append("GLOBAL_WINDOW")
 
+    # sim_knn_join's query side must enter through the cogrouped
+    # shuffle (FlatMapCoGroupsInPandas), never a driver collect()
+    # closed over the kernel — the r5-flagged scale-killer shape. A
+    # collect is invisible in the plan, but its absence of the cogroup
+    # node is not: the fixed implementation always shows one.
+    if name == "sim_knn_join" and "FlatMapCoGroupsInPandas" not in txt:
+        flags.append("KNN_NO_COGROUP")
+
     return flags, txt
 
 
