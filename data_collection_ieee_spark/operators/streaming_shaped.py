@@ -254,6 +254,9 @@ mom AS (
 scored AS (
   SELECT d.event_type, d.day, d.n_events,
          CASE WHEN m.s2 * m.n_days = m.s1 * m.s1 THEN 0.0
+              WHEN CAST(m.s2 AS DOUBLE) / m.n_days
+                   - (CAST(m.s1 AS DOUBLE) / m.n_days) * (CAST(m.s1 AS DOUBLE) / m.n_days)
+                   <= 0.0 THEN 0.0
               ELSE round((CAST(d.n_events AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.n_days)
                    / sqrt(CAST(m.s2 AS DOUBLE) / m.n_days
                           - (CAST(m.s1 AS DOUBLE) / m.n_days) * (CAST(m.s1 AS DOUBLE) / m.n_days)),
@@ -276,6 +279,16 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the same order on both engines; the zero-variance guard is an
     exact integer identity (s2·n = s1²), and the anomaly flag compares
     the already-rounded z — no epsilon, no float-accum drift anywhere.
+    Two engine-alignment hardenings (ADVICE r5): (1) s2 accumulates in
+    DECIMAL(38,0) on the Spark side to match DuckDB's 128-bit integer
+    SUM — a long sum would wrap silently at huge daily volumes while
+    the oracle kept exact; (2) a float clamp (var ≤ 0 → z = 0, in the
+    identical expression order on both engines) covers catastrophic
+    cancellation in s2/n − mean², where variance is tiny-but-positive
+    mathematically yet computes ≤ 0 in doubles — Spark's sqrt(<0)
+    yields NaN (is_anomaly silently false) while DuckDB diverges, so
+    without the clamp the engines disagree exactly when the data is
+    near-constant at scale.
 
     Scale shape: one map-side-combined groupBy over (type, day) — the
     only corpus-sized shuffle; the per-type moment table is |types|
@@ -289,17 +302,25 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = daily.groupBy("event_type").agg(
         F.count("*").alias("n_days"),
         F.sum("n_events").alias("s1"),
-        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+        # decimal accumulator: exact at any volume, like DuckDB's
+        # 128-bit SUM — a long sum would wrap silently
+        F.sum(
+            F.col("n_events").cast("decimal(19,0)") * F.col("n_events")
+        ).alias("s2"),
     )
     mean = F.col("s1").cast("double") / F.col("n_days")
+    var = F.col("s2").cast("double") / F.col("n_days") - mean * mean
     z = F.when(
-        F.col("s2") * F.col("n_days") == F.col("s1") * F.col("s1"), F.lit(0.0)
+        # exact-constant case: integer identity, decimal arithmetic
+        F.col("s2") * F.col("n_days")
+        == F.col("s1").cast("decimal(19,0)") * F.col("s1"),
+        F.lit(0.0),
+    ).when(
+        # cancellation case: variance computed ≤ 0 in doubles
+        var <= F.lit(0.0),
+        F.lit(0.0),
     ).otherwise(
-        F.round(
-            (F.col("n_events").cast("double") - mean)
-            / F.sqrt(F.col("s2").cast("double") / F.col("n_days") - mean * mean),
-            4,
-        )
+        F.round((F.col("n_events").cast("double") - mean) / F.sqrt(var), 4)
         + F.lit(0.0)
     )
     scored = (

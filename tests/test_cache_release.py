@@ -78,3 +78,21 @@ def test_cc_checkpoints_released(spark):
 
     catalog.release_caches()
     assert _n_persistent(spark) == base
+
+
+def test_eager_checkpoint_free_actually_drops_blocks(spark):
+    """_free_local_checkpoint reaches the checkpointed RDD through a
+    py4j internal accessor; if a Spark upgrade shifts it, every eager
+    free would silently no-op and executor storage would grow to
+    O(rounds) label tables. This canary asserts (a) a freed frame's
+    blocks really leave getPersistentRDDs and (b) the failure counter
+    stays zero — so an accessor break fails CI instead of masking."""
+    catalog.release_caches()
+    base = _n_persistent(spark)
+    fails_before = dedup._CKPT_FREE_FAILURES
+
+    df = spark.range(100).localCheckpoint(eager=True)
+    assert _n_persistent(spark) == base + 1
+    dedup._free_local_checkpoint(df)
+    assert _n_persistent(spark) == base
+    assert dedup._CKPT_FREE_FAILURES == fails_before
