@@ -406,6 +406,116 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verified_pairs(candidates, sh)
 
 
+_SUBSTR_W = 20  # verbatim-passage window, in tokens
+
+
+def _substring_spans(docs: DataFrame, w: int = _SUBSTR_W) -> DataFrame:
+    """Core of `dedup_substring_exact` over any (doc_id, text) frame —
+    exact duplicated-PASSAGE detection: every maximal token span whose
+    w-gram windows all occur at ≥ 2 locations in the corpus (the
+    long-verbatim-passage removal step of training-data curation —
+    exact n-gram Jaccard scores whole documents; this finds the shared
+    substrings themselves, with positions, so they can be cut).
+
+    Plan (all linear, no all-pairs anywhere):
+    1. tokens hashed once per doc; a w-gram's identity is xxhash64 of
+       the token-hash SLICE — never a materialized n-gram string
+       (the explode-over-transform string trap measured 4-5× slower;
+       hashing arrays keeps the generate path cheap).
+    2. posexplode to (doc_id, pos, gram_hash) — one row per window.
+    3. duplicated grams via groupBy(gram_hash) HAVING count ≥ 2 — a
+       map-side-combined shuffle on 8-byte keys; joined back to the
+       locations (AQE handles hot common-phrase keys; a window over
+       gram_hash would funnel each hot gram through one task instead).
+    4. gaps-and-islands per doc: windows at pos p cover [p, p+w-1], so
+       consecutive duplicate windows merge while pos − prev_pos ≤ w
+       (overlap or adjacency); the island aggregate emits one row per
+       maximal span. Per-doc window functions are bounded by document
+       length — never corpus-sized.
+    """
+    toks = docs.select("doc_id", _tokens().alias("toks")).filter(F.size("toks") >= w)
+    # bind the token-hash array once (same device as _shingles_df), then
+    # one gram hash per window position over its slices
+    loc = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"""
+                element_at(transform(array(transform(toks, t -> xxhash64(t))),
+                  th -> transform(sequence(1, size(th) - {w} + 1),
+                                  i -> xxhash64(slice(th, i, {w})))
+                ), 1)
+                """
+            )
+        ).alias("pos0", "gh"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "gh")
+    dup = (
+        loc.groupBy("gh")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("gh")
+    )
+    d = loc.join(dup, "gh").select("doc_id", "pos")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = d.withColumn(
+        "b",
+        F.when(F.col("pos") - F.lag("pos").over(wdoc) > w, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    isl = brk.withColumn(
+        "island", F.sum("b").over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + w - 1).cast("int").alias("span_end"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_dup_grams")
+    )
+
+
+@query(
+    "dedup_substring_exact",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+loc AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(list_slice(toks, i, i + {_SUBSTR_W} - 1), ' ') AS gram
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - {_SUBSTR_W} + 2)) AS i)
+  WHERE len(toks) >= {_SUBSTR_W}
+),
+dup AS (SELECT gram FROM loc GROUP BY gram HAVING COUNT(*) >= 2),
+d AS (SELECT l.doc_id, l.pos FROM loc l JOIN dup USING (gram)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {_SUBSTR_W} THEN 1 ELSE 0 END AS b
+  FROM d
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+)
+SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) + {_SUBSTR_W} - 1 AS INT) AS span_end,
+       COUNT(*) AS n_dup_grams
+FROM isl GROUP BY doc_id, island
+""",
+)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (VERDICT r5 #3): positional maximal
+    spans of ≥ {w}-token verbatim passages shared across ≥ 2 corpus
+    locations — see `_substring_spans` for the plan. The oracle builds
+    the same windows as strings; the value hash therefore also
+    collision-checks the Spark side's hashed-slice device."""
+    return _substring_spans(load_table(spark, sf_dir, "documents"))
+
+
 _SIMHASH_BITS = 60  # 15 hex chars of md5 → fits BIGINT, 4 chunks of 15
 _HAMMING_MAX = 3  # ≤3 differing bits over 4 chunks ⇒ ≥1 chunk identical
 _N_CHUNKS = 4

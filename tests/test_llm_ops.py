@@ -422,3 +422,44 @@ def test_anomaly_zscore_matches_numpy_reference(spark, sf_dir):
         assert gn == n
         assert abs(gz - z) <= 1e-9, (t, d, gz, z)
         assert ga == (abs(gz) > 2.0)
+
+
+def test_substring_spans_planted_passages(spark):
+    """_substring_spans on a synthetic corpus with a planted 25-token
+    verbatim passage: overlapping duplicate windows must merge into ONE
+    maximal span per doc covering exactly the planted region, unique
+    docs must emit nothing, and a self-repeated adjacent passage must
+    fuse into a single span."""
+    from data_collection_ieee_spark.operators.dedup import _substring_spans
+
+    w = 20
+    passage = [f"p{i}" for i in range(25)]
+    doc_a = [f"a{i}" for i in range(7)] + passage + [f"az{i}" for i in range(8)]
+    doc_b = [f"b{i}" for i in range(3)] + passage + [f"bz{i}" for i in range(4)]
+    doc_u = [f"u{i}" for i in range(40)]  # all-unique: no dup windows
+    doc_s = [f"s{i}" for i in range(2)] + passage + passage  # self-repeat
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(doc_a)),
+            (2, " ".join(doc_b)),
+            (3, " ".join(doc_u)),
+            (4, " ".join(doc_s)),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in _substring_spans(docs, w=w).collect()
+    }
+    # doc 1: passage occupies 1-based token positions 8..32; duplicate
+    # windows start at 8..13 (6 windows), span = [8, 13+w-1=32]
+    assert got[1] == (8, 32, 6)
+    # doc 2: passage at positions 4..28 -> starts 4..9, span [4, 28]
+    assert got[2] == (4, 28, 6)
+    assert 3 not in got
+    # doc 4: passage twice back-to-back at 3..27 and 28..52. Duplicated
+    # windows are those fully inside a copy (starts 3..8 and 28..33 —
+    # straddling windows are rotations that occur nowhere else); the
+    # two runs are exactly w apart (28 = 8 + w), so adjacency merging
+    # fuses them into ONE span [3, 52]
+    assert got[4] == (3, 52, 12)
