@@ -463,3 +463,28 @@ def test_substring_spans_planted_passages(spark):
     # two runs are exactly w apart (28 = 8 + w), so adjacency merging
     # fuses them into ONE span [3, 52]
     assert got[4] == (3, 52, 12)
+
+
+def test_dedup_within_watermark_invariants(spark, sf_dir):
+    """The batch watermark-dedup chain must conserve arrivals
+    (kept + absorbed = injected arrivals) and never keep two arrivals
+    of one key within the horizon of each other — the exact guarantee
+    dropDuplicatesWithinWatermark gives a stream."""
+    from data_collection_ieee_spark.catalog import load_table
+    from data_collection_ieee_spark.operators.streaming_shaped import (
+        _WM_HORIZON_MIN,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    n5 = ev.filter("event_id % 5 = 0").count()
+    n10 = ev.filter("event_id % 10 = 0").count()
+    rows = _rows("dedup_within_watermark", spark, sf_dir)
+    assert sum(1 + r["n_dropped"] for r in rows) == n + n5 + n10
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["event_id"], []).append(r["kept_ts"])
+    for k, times in by_key.items():
+        times.sort()
+        for a, b in zip(times, times[1:]):
+            assert (b - a).total_seconds() > _WM_HORIZON_MIN * 60, (k, times)
