@@ -488,3 +488,39 @@ def test_dedup_within_watermark_invariants(spark, sf_dir):
         times.sort()
         for a, b in zip(times, times[1:]):
             assert (b - a).total_seconds() > _WM_HORIZON_MIN * 60, (k, times)
+
+
+def test_repetition_signals_long_doc_path(spark):
+    """Docs above the length gate must take the explode+groupBy path
+    and produce byte-identical signals to the in-row path (gate forced
+    above every doc) and to a Counter reference — including a 6000-token
+    book-length doc that the gate routes to the explode path."""
+    from collections import Counter
+
+    from data_collection_ieee_spark.operators.text_analysis import (
+        _REP_LONG_DOC_TOKENS,
+        _repetition_signals,
+    )
+
+    long_toks = [f"w{i % 37}" for i in range(6000)]  # heavy repetition
+    assert len(long_toks) > _REP_LONG_DOC_TOKENS
+    docs_py = {
+        1: "alpha beta gamma alpha beta gamma alpha",
+        2: " ".join(long_toks),
+        3: " ".join(f"u{i}" for i in range(50)),
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in docs_py.items()], "doc_id bigint, text string"
+    )
+    gated = sorted(map(tuple, _repetition_signals(docs).collect()))
+    inrow = sorted(
+        map(tuple, _repetition_signals(docs, long_doc_tokens=10**9).collect())
+    )
+    assert gated == inrow
+    for row in _repetition_signals(docs).collect():
+        toks = docs_py[row["doc_id"]].split(" ")
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        assert row["n_tokens"] == len(toks)
+        assert row["top_tok_cnt"] == Counter(toks).most_common(1)[0][1]
+        assert row["n_bigrams"] == len(toks) - 1
+        assert row["dup_bigram_cnt"] == len(bgs) - len(set(bgs))
