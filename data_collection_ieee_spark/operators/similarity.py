@@ -259,14 +259,31 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _N_PLANES = 4  # 4-bit sign signature -> 16 buckets (see docstring on sizing)
-_MULTIPROBE_HAMMING = 1  # probe bucket + all 12 hamming-1 neighbors
+_MULTIPROBE_HAMMING = 1  # default probe radius: bucket + hamming-1 neighbors
 
 
 @query("sim_ann_hyperplane")
 def sim_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k at the default probe
+    radius — see `_ann_hyperplane_impl` for the full design and the
+    probe-radius knob (recall-vs-probes curve in tests/test_llm_ops.py).
+    """
+    return _ann_hyperplane_impl(spark, sf_dir)
+
+
+def _ann_hyperplane_impl(
+    spark: SparkSession, sf_dir: str, probe_hamming: int = _MULTIPROBE_HAMMING
+) -> DataFrame:
     """Random-hyperplane LSH approximate top-k — the other classic ANN
     scale path beside IVF (sim_ann_ivf). Rows-only check; recall vs the
     exact baseline is asserted in tests/test_llm_ops.py.
+
+    `probe_hamming` (VERDICT r5 #7) is the multiprobe radius: the scan
+    covers the probe's bucket plus every bucket within that hamming
+    distance of it — C(b,0)+…+C(b,r) of 2^b buckets, the standard
+    recall-vs-cost dial of multiprobe LSH (radius b = exact
+    brute force; the pytest curve asserts recall is monotone in the
+    radius and hits 1.0 there).
 
     Index: fixed Gaussian hyperplanes (seeded — identical on every
     run/executor); a vector's bucket is the sign pattern of its
@@ -306,16 +323,13 @@ def sim_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_row = indexed.filter(F.col("vec_id") == PROBE_VEC_ID).select(
         "bucket", F.col("embedding").alias("probe_emb")
     )
-    # multiprobe bucket set: the probe's bucket and its hamming-1 flips
+    # multiprobe bucket set: every XOR mask with popcount ≤ radius,
+    # enumerated driver-side (≤ 2^b masks of metadata, like the IVF
+    # centroid table) and applied to the probe's bucket JVM-side
+    masks = [m for m in range(1 << _N_PLANES) if bin(m).count("1") <= probe_hamming]
     probe_buckets = probe_row.select(
         F.explode(
-            F.array(
-                F.col("bucket"),
-                *[
-                    F.col("bucket").bitwiseXOR(F.lit(1 << j))
-                    for j in range(_N_PLANES)
-                ],
-            )
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("bucket")
     )
     candidates = indexed.join(F.broadcast(probe_buckets), "bucket").filter(

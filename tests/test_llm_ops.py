@@ -135,6 +135,27 @@ def test_ann_hyperplane_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.25, f"hyperplane-LSH recall {recall:.2f}"
 
 
+def test_ann_hyperplane_recall_vs_probe_radius(spark, sf_dir):
+    """Multiprobe radius is the recall-vs-cost dial: recall must be
+    monotone non-decreasing in the radius, and at radius = n_planes
+    (every bucket scanned) the search is exact — recall 1.0."""
+    from data_collection_ieee_spark.operators.similarity import (
+        _N_PLANES,
+        _ann_hyperplane_impl,
+    )
+
+    exact_ids = {r["vec_id"] for r in _rows("sim_cosine_topk", spark, sf_dir)}
+    recalls = []
+    for r in range(_N_PLANES + 1):
+        ids = {
+            row["vec_id"]
+            for row in _ann_hyperplane_impl(spark, sf_dir, probe_hamming=r).collect()
+        }
+        recalls.append(len(exact_ids & ids) / len(exact_ids))
+    assert all(b >= a for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[-1] == 1.0, recalls
+
+
 def test_pii_redact_leaves_no_residual_pii(spark, sf_dir):
     import re
 
