@@ -1,8 +1,13 @@
 """Deduplication operators — the north-star LLM-data-pipeline surface.
 
-Six levels, each a `queries()` entry over the `documents` table:
+Seven levels, each a `queries()` entry over the `documents` table:
 
 - `dedup_exact_key`      exact content dedup via hash-groupBy (argmin keeper)
+- `dedup_substring_exact` exact duplicated-PASSAGE spans (20-token
+                         windows occurring at ≥2 corpus locations,
+                         positional output, overlapping spans merged) —
+                         the long-verbatim-passage removal step that
+                         document-level similarity cannot express
 - `dedup_ngram_jaccard`  exact near-dup pairs: word-trigram shingle hashes +
                          postings count-join + integer-exact Jaccard
 - `dedup_minhash_lsh`    MinHash (128 perms, Arrow-vectorized) + LSH banding

@@ -1,0 +1,149 @@
+"""Deterministic scale-factor generator for the heavy-query trend runs
+(VERDICT r5 #2).
+
+The driver's testdata tops out at sf0.1; "designed for 100 TB" needs at
+least one measured decade, so this script synthesizes an sfN (default
+sf1 = 10x the sf0.1 row counts) version of the four tables the
+expensive queries touch — documents, embeddings, events, orders — with
+the same schemas and distributional shape as the driver fixtures
+(vocab, length ranges, near-dup/exact-dup families at the same RATE so
+pair counts stay LINEAR in the corpus — cloning sf0.1 rows 10x would
+square the dup-family sizes and corrupt the trend).
+
+Everything is seeded (numpy default_rng(42)); output goes OUTSIDE the
+repo and testdata (default /tmp/dcis_scale/sf1) and is regenerable, so
+nothing large is ever committed. tools/scale_trend.py consumes it.
+
+Usage: python tools/gen_scale.py [--out DIR] [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# sf0.1 row counts (TESTDATA.md / observed); sfN = factor x these
+BASE = {"documents": 5_000, "embeddings": 2_000, "events": 100_000, "orders": 150_000}
+
+# the fixture corpus vocabulary (31 tokens observed at every sf)
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window", "zone",
+]
+LANGS = ["en", "en", "de", "es", "fr", "zh"]  # en-weighted like the fixture
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+STATUSES = ["O", "P", "F"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def gen_documents(rng: np.random.Generator, n: int) -> pa.Table:
+    vocab = np.array(VOCAB)
+    lens = rng.integers(10, 100, size=n)
+    texts: list[str] = []
+    for i in range(n):
+        if i % 100 == 1 and texts:
+            # near-dup family member: ~5% token mutation of the previous
+            # doc (pairs stay 0.5% of N — linear, like the fixtures)
+            toks = texts[i - 1].split(" ")
+            for j in range(len(toks)):
+                if rng.random() < 0.05:
+                    toks[j] = vocab[rng.integers(len(vocab))]
+            texts.append(" ".join(toks))
+        elif i % 617 == 3 and texts:
+            texts.append(texts[i - 1])  # exact duplicate
+        else:
+            texts.append(" ".join(vocab[rng.integers(0, len(vocab), lens[i])]))
+    langs = [LANGS[int(x)] for x in rng.integers(0, len(LANGS), n)]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array([f"src{i % 20}" for i in range(n)]),
+            "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
+        }
+    )
+
+
+def gen_embeddings(rng: np.random.Generator, n: int) -> pa.Table:
+    vecs = rng.standard_normal((n, 64)).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+            "label": pa.array(rng.integers(0, 10, n).astype(np.int32)),
+        }
+    )
+
+
+def gen_events(rng: np.random.Generator, n: int) -> pa.Table:
+    t0 = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    span = 30 * 24 * 3600 * 1_000_000
+    ts = np.sort(t0 + rng.integers(0, span, n))
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "user_id": pa.array(rng.integers(0, 15 * n // 1000, n).astype(np.int64)),
+            "event_type": pa.array(
+                [EVENT_TYPES[int(x)] for x in rng.integers(0, 5, n)]
+            ),
+            "value": pa.array(np.round(rng.uniform(0, 100, n), 2)),
+            "props": pa.array([f'{{"k": {int(x)}}}' for x in rng.integers(0, 100, n)]),
+        }
+    )
+
+
+def gen_orders(rng: np.random.Generator, n: int) -> pa.Table:
+    t0 = np.datetime64("1995-01-01T00:00:00", "us").astype(np.int64)
+    span = int(6.5 * 365 * 24 * 3600) * 1_000_000
+    days = 24 * 3600 * 1_000_000
+    ts = t0 + (rng.integers(0, span // days, n)) * days
+    return pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+            "o_custkey": pa.array(rng.integers(0, n // 10, n).astype(np.int64)),
+            "o_orderstatus": pa.array([STATUSES[int(x)] for x in rng.integers(0, 3, n)]),
+            "o_totalprice": pa.array(np.round(rng.uniform(1000, 500000, n), 2)),
+            "o_orderdate": pa.array(ts.astype("datetime64[us]")),
+            "o_orderpriority": pa.array(
+                [PRIORITIES[int(x)] for x in rng.integers(0, 5, n)]
+            ),
+        }
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/dcis_scale/sf1")
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.default_rng(42)
+    sizes = {}
+    for name, gen in (
+        ("documents", gen_documents),
+        ("embeddings", gen_embeddings),
+        ("events", gen_events),
+        ("orders", gen_orders),
+    ):
+        n = BASE[name] * args.factor
+        tbl = gen(rng, n)
+        pq.write_table(tbl, os.path.join(args.out, f"{name}.parquet"))
+        sizes[name] = n
+        print(f"wrote {name}: {n} rows")
+    with open(os.path.join(args.out, "MANIFEST.json"), "w") as f:
+        json.dump({"factor": args.factor, "seed": 42, "rows": sizes}, f)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

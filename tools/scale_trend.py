@@ -1,0 +1,99 @@
+"""One-decade scale-trend harness (VERDICT r5 #2).
+
+Times the heavy queries at the driver's sf0.1 testdata AND the
+generated sfN set (tools/gen_scale.py), median of N noop-sink runs
+each (same sink as bench.py), and reports the time ratio against the
+data ratio. A query whose time grows faster than ~linear in rows is a
+scale bug — its plan gets fixed, not excused.
+
+Usage:
+  python tools/gen_scale.py                      # once, ~1 min
+  python tools/scale_trend.py [--reps 3] [name ...]
+
+Writes SCALE_TREND.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_collection_ieee_spark import catalog, registry  # noqa: E402
+from data_collection_ieee_spark.session import get_spark  # noqa: E402
+
+# the expensive family: dedup ladder + CC + KNN + global sort + the
+# heavy text/events queries (BENCH_r05 top of table, plus round-6 adds)
+DEFAULT_QUERIES = [
+    "dedup_exact_key",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embed_cosine",
+    "dedup_cluster_assign",
+    "dedup_substring_exact",
+    "dedup_within_watermark",
+    "sim_knn_join",
+    "sim_cosine_topk",
+    "sort_multi",
+    "text_repetition_signals",
+    "events_anomaly_zscore",
+]
+
+
+def run_once(spark, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    registry.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--big", default="/tmp/dcis_scale/sf1")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+    names = args.names or DEFAULT_QUERIES
+
+    manifest = json.load(open(os.path.join(args.big, "MANIFEST.json")))
+    factor = manifest["factor"]
+
+    registry.load_all()
+    spark = get_spark("scale-trend")
+
+    results = {}
+    for sf_dir in (args.base, args.big):
+        for name in names:  # one warm pass per dir: codegen + page cache
+            run_once(spark, name, sf_dir)
+        for name in names:
+            times = [run_once(spark, name, sf_dir) for _ in range(args.reps)]
+            results.setdefault(name, {})[sf_dir] = round(
+                statistics.median(times), 3
+            )
+        catalog.release_caches()
+
+    print(f"\n{'query':26} {'sf0.1':>8} {'sfN':>8} {'ratio':>7}  (data x{factor})")
+    out = {"factor": factor, "reps": args.reps, "queries": {}}
+    worst = 0.0
+    for name in names:
+        t1, tn = results[name][args.base], results[name][args.big]
+        ratio = tn / t1 if t1 > 0 else float("inf")
+        out["queries"][name] = {"base_s": t1, "big_s": tn, "ratio": round(ratio, 2)}
+        worst = max(worst, ratio)
+        flag = "" if ratio <= factor * 1.3 else "  <-- SUPERLINEAR"
+        print(f"{name:26} {t1:8.3f} {tn:8.3f} {ratio:6.2f}x{flag}")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SCALE_TREND.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\nworst ratio {worst:.2f}x vs data x{factor}; SCALE_TREND.json written")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
