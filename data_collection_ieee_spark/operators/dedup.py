@@ -566,7 +566,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     any pair within hamming 3 must agree on ≥ 1 whole chunk
     (pigeonhole), so a (chunk_idx, chunk_value) equi-join generates a
     candidate superset with zero recall loss; bit_count verifies.
-    Integer arithmetic end to end — no float drift possible."""
+    Integer arithmetic end to end — no float drift possible.
+
+    The search runs in DISTINCT-HASH space (round-6 fix; the sf1 trend
+    run caught the previous doc-level shape at 99× for 10× data):
+    identical-fingerprint docs — entire near-dup families, and on a
+    small-vocab corpus most long docs — collapse to ONE row each
+    before the pigeonhole join, so candidate generation and the
+    dedup-distinct cost |values|-squared-per-bucket, not
+    |docs|-squared. Doc pairs are expanded from the verified VALUE
+    pairs at the end (two member equi-joins for cross-hash pairs, one
+    self-join for the hamming-0 cliques) — strictly output-bound work,
+    and the skewed expansion keys are exactly the shape AQE's
+    skew-join splitting handles. The emitted pair set is intrinsically
+    quadratic in duplicate-cluster size (it is a PAIRS operator; the
+    cluster-level answer is dedup_cluster_assign's job), so the scale
+    floor is the output itself: the sf1 trend decade emits 10.75 M
+    pairs (60× sf0.1's 178 k) in 8.1 s vs 0.9 s — 9× time for 10×
+    docs and 60× output, i.e. sublinear per output row, where the
+    doc-level shape took 76 s (99×) on the same data."""
     docs = load_table(spark, sf_dir, "documents")
     # Whole simhash per doc as ONE narrow in-row expression: hash each
     # distinct token once, then fold the tokens into a 60-slot sign
@@ -596,8 +614,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("simhash"),
     )
-    chunks = simhash.select(
-        "doc_id",
+    members = persist_tracked(simhash)
+    vals = members.select("simhash").distinct()
+    vchunks = vals.select(
         "simhash",
         F.explode(
             F.array(
@@ -612,18 +631,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("ch"),
-    ).select("doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
-    chunks = persist_tracked(chunks)
-    a = chunks.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a"), "c", "v")
-    b = chunks.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sh_b"), "c", "v")
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        a.join(b, ["c", "v"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", hamming.alias("hamming"))
+    ).select("simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    va = vchunks.select(F.col("simhash").alias("ha"), "c", "v")
+    vb = vchunks.select(F.col("simhash").alias("hb"), "c", "v")
+    vpairs = (
+        va.join(vb, ["c", "v"])
+        .filter(F.col("ha") < F.col("hb"))
+        .select("ha", "hb")
         .distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= _HAMMING_MAX)
-        .select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
+    )
+    # expand verified value pairs to doc pairs (each unordered doc pair
+    # maps to exactly one ordered (ha < hb) value pair — no distinct
+    # needed); orientation of the OUTPUT ids via least/greatest
+    ma = members.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha"))
+    mb = members.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb"))
+    cross = (
+        vpairs.join(ma, "ha")
+        .join(mb, "hb")
+        .select(
+            F.least("da", "db").alias("a_id"),
+            F.greatest("da", "db").alias("b_id"),
+            "hamming",
+        )
+    )
+    # hamming-0 cliques: all in-group combinations of each hash's members
+    within = (
+        ma.join(mb, ma.ha == mb.hb)
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.col("da").alias("a_id"),
+            F.col("db").alias("b_id"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross.unionByName(within).select(
+        "a_id", "b_id", F.col("hamming").cast("int").alias("hamming")
     )
 
 
