@@ -8,9 +8,16 @@ scale bug — its plan gets fixed, not excused.
 
 Usage:
   python tools/gen_scale.py                      # once, ~1 min
-  python tools/scale_trend.py [--reps 3] [name ...]
+  SPARK_DRIVER_MEMORY=32g python tools/scale_trend.py [--reps 3] [name ...]
 
 Writes SCALE_TREND.json at the repo root.
+
+Heap sizing: the default 8g local JVM divides across 32 executor
+threads (~250 MB/task) — at sf1 the dedup warm pass can OOM on that
+(observed once, in connected-components' degree aggregate while the
+whole dedup family's caches were resident). 32g is comfortable on the
+128 GiB harness; on a real cluster this is per-executor memory vs
+partition count, which the operators already size for.
 """
 
 from __future__ import annotations
@@ -69,9 +76,17 @@ def main() -> int:
 
     results = {}
     for sf_dir in (args.base, args.big):
-        for name in names:  # one warm pass per dir: codegen + page cache
-            run_once(spark, name, sf_dir)
         for name in names:
+            # isolate queries from each other's resident caches (the
+            # dedup family's persisted frames otherwise accumulate and
+            # GC pressure inflates whatever runs LAST — observed 3-4×
+            # on the tail queries of an accumulate-then-release run);
+            # each query pays its own materialization, which is the
+            # honest per-query cost. Warm run covers codegen + page
+            # cache + its own cache build; reps then measure steady
+            # state.
+            catalog.release_caches()
+            run_once(spark, name, sf_dir)
             times = [run_once(spark, name, sf_dir) for _ in range(args.reps)]
             results.setdefault(name, {})[sf_dir] = round(
                 statistics.median(times), 3
