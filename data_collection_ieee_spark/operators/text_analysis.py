@@ -520,3 +520,69 @@ def _repetition_signals(
         .otherwise(F.lit("keep"))
         .alias("verdict"),
     )
+
+
+@query(
+    "text_token_rarity",
+    oracle="""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT SUM(c) AS t, SUM(c * c) AS c2 FROM freq),
+per_doc AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens, CAST(SUM(f.c) AS BIGINT) AS sum_freq
+  FROM toks t JOIN freq f USING (tok) GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, sum_freq,
+       round(CAST(sum_freq AS DOUBLE) / n_tokens, 4) + 0.0 AS avg_freq,
+       CASE WHEN 2 * CAST(sum_freq AS HUGEINT) * tot.t
+                 < CAST(tot.c2 AS HUGEINT) * n_tokens
+            THEN 'rare_tokens' ELSE 'keep' END AS verdict
+FROM per_doc, tot
+""",
+)
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based quality scoring — the unigram-LM (CCNet-style)
+    filter expressed with integer determinism: score each document by
+    the mean CORPUS frequency of its tokens and flag documents whose
+    mean falls below half the corpus's token-weighted mean frequency
+    (rare-token-heavy docs are the noisy/unusual tail a perplexity
+    filter would cut; frequency is the monotone integer proxy for
+    unigram probability, so no cross-engine ln() in any comparison —
+    libm vs Java Math.log differ at 1 ulp exactly where a threshold
+    bites).
+
+    Plan: one map-side-combined groupBy builds the corpus frequency
+    table (the "language model" — at 100 TB this is the materialized
+    vocab-count table, millions of rows, AQE-broadcastable or
+    shuffle-joined); exploded tokens re-join it and aggregate per doc
+    (second combine); the two corpus moments ride a 1-row broadcast.
+    The flag is an exact integer cross-multiplication
+    (2·sum_freq·T < ΣC²·n), decimal-accumulated on the Spark side to
+    match DuckDB's 128-bit sums at any volume."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = freq.agg(
+        F.sum("c").alias("t"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("c2"),
+    )
+    per_doc = (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("c").alias("sum_freq"))
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_freq",
+        (F.round(F.col("sum_freq").cast("double") / F.col("n_tokens"), 4) + F.lit(0.0)).alias(
+            "avg_freq"
+        ),
+        F.when(
+            F.lit(2) * F.col("sum_freq").cast("decimal(19,0)") * F.col("t")
+            < F.col("c2") * F.col("n_tokens"),
+            F.lit("rare_tokens"),
+        )
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )

@@ -545,3 +545,30 @@ def test_repetition_signals_long_doc_path(spark):
         assert row["top_tok_cnt"] == Counter(toks).most_common(1)[0][1]
         assert row["n_bigrams"] == len(toks) - 1
         assert row["dup_bigram_cnt"] == len(bgs) - len(set(bgs))
+
+
+def test_token_rarity_matches_counter_reference(spark, sf_dir):
+    """text_token_rarity == a driver-side Counter reference: corpus
+    frequency table, per-doc frequency sums, and the integer
+    cross-multiplied rarity flag."""
+    from collections import Counter
+
+    from data_collection_ieee_spark.catalog import load_table
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    freq = Counter(t for toks in docs.values() for t in toks)
+    t_total = sum(freq.values())
+    c2 = sum(c * c for c in freq.values())
+    rows = _rows("text_token_rarity", spark, sf_dir)
+    assert len(rows) == len(docs)
+    for r in rows:
+        toks = docs[r["doc_id"]]
+        sum_freq = sum(freq[t] for t in toks)
+        assert r["n_tokens"] == len(toks)
+        assert r["sum_freq"] == sum_freq
+        assert abs(r["avg_freq"] - sum_freq / len(toks)) < 1e-3
+        want = "rare_tokens" if 2 * sum_freq * t_total < c2 * len(toks) else "keep"
+        assert r["verdict"] == want, (r, want)
