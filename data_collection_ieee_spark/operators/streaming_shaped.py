@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_collection_ieee_spark.catalog import load_table
+from data_collection_ieee_spark.catalog import load_table, persist_tracked
 from data_collection_ieee_spark.functions.exact import dsum, sql_dsum
 from data_collection_ieee_spark.registry import query
 
@@ -419,8 +419,13 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     kept_rounds = []
-    cur = arrivals.persist()
-    spent = [cur]
+    # round frames stay cached via persist_tracked (released with the
+    # campaign by catalog.release_caches()): the returned union READS
+    # them lazily, so unpersisting here would silently recompute the
+    # whole chain on every downstream evaluation. Chain depth (2-3
+    # frames, = max duplicate lateness / horizon) bounds the storage —
+    # not rounds of a long iteration, so no localCheckpoint needed.
+    cur = persist_tracked(arrivals)
     while True:
         first = cur.groupBy("event_id").agg(F.min("ts").alias("kept_ts"))
         joined = cur.join(first, "event_id")
@@ -434,18 +439,14 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("n_dropped")
             )
         )
-        cur = joined.filter(F.col("ts") > F.col("kept_ts") + horizon).select(
-            "event_id", "ts"
-        ).persist()
-        spent.append(cur)
+        cur = persist_tracked(
+            joined.filter(F.col("ts") > F.col("kept_ts") + horizon).select(
+                "event_id", "ts"
+            )
+        )
         if cur.limit(1).count() == 0:
             break
     out = kept_rounds[0]
     for k in kept_rounds[1:]:
         out = out.unionByName(k)
-    # the output plan no longer references the intermediate rounds once
-    # unioned; drop their storage (2-3 frames — chain depth, not rounds
-    # of a long iteration, so no localCheckpoint needed here)
-    for df in spent:
-        df.unpersist()
     return out.select("event_id", "kept_ts", "n_dropped")
