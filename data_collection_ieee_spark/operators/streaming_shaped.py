@@ -404,7 +404,6 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming twin (streaming/parity.py dedup_within_watermark +
     tests/test_streaming.py) exercises the real state store; this
     query gives the semantics a driver-visible oracle row."""
-    horizon = F.expr(f"INTERVAL {_WM_HORIZON_MIN} MINUTES")
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
     arrivals = (
         ev.unionByName(
@@ -417,7 +416,17 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    return _watermark_chain(arrivals)
 
+
+def _watermark_chain(
+    arrivals: DataFrame, horizon_min: int = _WM_HORIZON_MIN
+) -> DataFrame:
+    """Round-based chain resolution over any (event_id, ts) arrival
+    frame — see `dedup_within_watermark` for the semantics and scale
+    shape. Property-tested against a sequential per-key state machine
+    on random arrival multisets (tests/test_properties.py)."""
+    horizon = F.expr(f"INTERVAL {horizon_min} MINUTES")
     kept_rounds = []
     # round frames stay cached via persist_tracked (released with the
     # campaign by catalog.release_caches()): the returned union READS

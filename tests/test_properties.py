@@ -338,3 +338,119 @@ def test_jaccard_paths_agree_on_random_shingle_sets(spark, docs):
     full = sorted(tuple(r) for r in _jaccard_pairs(spark, sh, force_prefix=False).collect())
     pref = sorted(tuple(r) for r in _jaccard_pairs(spark, sh, force_prefix=True).collect())
     assert full == pref
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=5),  # tiny vocab forces dups
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_substring_spans_match_bruteforce(spark, docs):
+    """_substring_spans(w=3) == a Python brute force on random tiny-vocab
+    corpora: same duplicated-window positions, same maximal-span merge
+    (pos gap > w breaks), same per-span window counts."""
+    from collections import Counter
+
+    from data_collection_ieee_spark.operators.dedup import _substring_spans
+
+    w = 3
+    texts = [" ".join(f"t{t}" for t in toks) for toks in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)) or [(0, "")], "doc_id bigint, text string"
+    )
+
+    # brute force: count every w-gram across the corpus, then islands
+    grams = Counter()
+    per_doc_pos = {}
+    for i, toks in enumerate(docs):
+        toks = texts[i].split(" ")  # same tokenization incl. empty-text
+        if len(toks) < w:
+            continue
+        for p in range(len(toks) - w + 1):
+            g = tuple(toks[p : p + w])
+            grams[g] += 1
+            per_doc_pos.setdefault(i, []).append((p + 1, g))
+    expected = set()
+    for i, poss in per_doc_pos.items():
+        dup = sorted(p for p, g in poss if grams[g] >= 2)
+        if not dup:
+            continue
+        run = [dup[0]]
+        for p in dup[1:]:
+            if p - run[-1] > w:
+                expected.add((i, run[0], run[-1] + w - 1, len(run)))
+                run = [p]
+            else:
+                run.append(p)
+        expected.add((i, run[0], run[-1] + w - 1, len(run)))
+
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in _substring_spans(df, w=w).collect()
+    }
+    assert got == expected
+
+
+@given(
+    arrivals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # key
+            st.integers(min_value=0, max_value=50),  # minutes offset
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_watermark_chain_rounds_match_python_chain(spark, arrivals):
+    """The round-based chain resolution inside dedup_within_watermark
+    must equal the sequential per-key state machine (sort by ts; keep
+    if > horizon past the last KEPT) for ANY arrival multiset — more
+    rounds than the fixture's 2, ties included."""
+    import datetime
+
+    from data_collection_ieee_spark import catalog
+    from data_collection_ieee_spark.operators.streaming_shaped import (
+        _watermark_chain,
+    )
+
+    horizon_min = 10
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (k, base + datetime.timedelta(minutes=m)) for k, m in arrivals
+    ]
+    df = (
+        spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+        if rows
+        else spark.createDataFrame([], "event_id bigint, ts timestamp")
+    )
+    got = {
+        (r["event_id"], r["kept_ts"], r["n_dropped"])
+        for r in _watermark_chain(df, horizon_min=horizon_min).collect()
+    }
+    catalog.release_caches()  # chain rounds persist_tracked per example
+
+    expected = set()
+    by_key = {}
+    for k, ts in rows:
+        by_key.setdefault(k, []).append(ts)
+    for k, times in by_key.items():
+        times.sort()
+        kept_ts, absorbed = None, 0
+        for ts in times:
+            if kept_ts is None or ts > kept_ts + datetime.timedelta(minutes=horizon_min):
+                if kept_ts is not None:
+                    expected.add((k, kept_ts, absorbed))
+                kept_ts, absorbed = ts, 0
+            else:
+                absorbed += 1
+        if kept_ts is not None:
+            expected.add((k, kept_ts, absorbed))
+    assert got == expected
