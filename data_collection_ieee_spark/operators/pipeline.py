@@ -417,3 +417,80 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+_Q_BITS_MAX = 127  # symmetric int8 range
+
+
+@query(
+    "embed_quantize_int8",
+    oracle=f"""
+WITH scaled AS (
+  SELECT vec_id,
+         round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) / {_Q_BITS_MAX}, 6) + 0.0 AS qscale,
+         CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings
+)
+SELECT vec_id, qscale,
+       CASE WHEN qscale = 0.0
+            THEN list_transform(e, x -> 0)
+            ELSE list_transform(e, x -> CAST(greatest(-{_Q_BITS_MAX},
+                   least({_Q_BITS_MAX}, round(x / qscale, 0))) AS INT))
+       END AS codes,
+       CASE WHEN qscale = 0.0 THEN 0
+            ELSE CAST(len(list_filter(e,
+                   x -> abs(round(x / qscale, 0)) > {_Q_BITS_MAX})) AS INT)
+       END AS n_clipped
+FROM scaled
+""",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage-side step of an embedding pipeline at 100 TB (float32
+    vectors quantize 4× smaller for ANN index shipping and cold
+    storage; search kernels dequantize per block). Per vector:
+    scale = max|x| / 127 (ROUNDED to 6 decimals so both engines
+    quantize with the IDENTICAL scalar — the rounding is part of the
+    codec, not display), codes = round(x / scale) clamped to ±127
+    (clamping is reachable because the rounded-down scale can push the
+    max element to 127.5…; n_clipped counts those lanes), zero-vectors
+    map to all-zero codes by the scale-0 guard.
+
+    Everything is one narrow in-row projection — higher-order
+    transforms over the array, no shuffle, no Python — so the operator
+    is a pure map at any corpus size. Cross-engine determinism: double
+    arithmetic in identical order, round-half-away on both engines,
+    and an exact `qscale = 0.0` guard; the reconstruction-error bound
+    (≤ scale/2 per lane, unclipped) is property-tested in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qscale = F.round(
+        F.array_max(F.transform(e, lambda x: F.abs(x))) / _Q_BITS_MAX, 6
+    ) + F.lit(0.0)
+    with_scale = emb.select("vec_id", e.alias("e"), qscale.alias("qscale"))
+    code = lambda x: F.greatest(  # noqa: E731
+        F.lit(-_Q_BITS_MAX),
+        F.least(F.lit(_Q_BITS_MAX), F.round(x / F.col("qscale"), 0)),
+    ).cast("int")
+    return with_scale.select(
+        "vec_id",
+        "qscale",
+        F.when(
+            F.col("qscale") == 0.0,
+            F.transform(F.col("e"), lambda x: F.lit(0)),
+        )
+        .otherwise(F.transform(F.col("e"), code))
+        .alias("codes"),
+        F.when(F.col("qscale") == 0.0, F.lit(0))
+        .otherwise(
+            F.size(
+                F.filter(
+                    F.col("e"),
+                    lambda x: F.abs(F.round(x / F.col("qscale"), 0)) > _Q_BITS_MAX,
+                )
+            )
+        )
+        .cast("int")
+        .alias("n_clipped"),
+    )

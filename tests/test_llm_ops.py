@@ -572,3 +572,37 @@ def test_token_rarity_matches_counter_reference(spark, sf_dir):
         assert abs(r["avg_freq"] - sum_freq / len(toks)) < 1e-3
         want = "rare_tokens" if 2 * sum_freq * t_total < c2 * len(toks) else "keep"
         assert r["verdict"] == want, (r, want)
+
+
+def test_quantize_int8_reconstruction_bound(spark, sf_dir):
+    """Dequantized vectors must reconstruct within scale/2 per unclipped
+    lane (the symmetric-quantizer bound), codes must stay in [-127,127],
+    and clipping must only occur at the +/-127 boundary."""
+    from data_collection_ieee_spark.catalog import load_table
+
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    rows = _rows("embed_quantize_int8", spark, sf_dir)
+    assert len(rows) == len(emb)
+    for r in rows:
+        orig = emb[r["vec_id"]]
+        s = r["qscale"]
+        codes = r["codes"]
+        assert len(codes) == len(orig)
+        assert all(-127 <= c <= 127 for c in codes)
+        if s == 0.0:
+            assert all(c == 0 for c in codes)
+            continue
+        n_clip = 0
+        for x, c in zip(orig, codes):
+            # clamping only ACTS when round(x/s) leaves [-127, 127],
+            # i.e. |x/s| > 127.5 under round-half-away; a lane at
+            # 127 < |x/s| <= 127.5 rounds back inside and still meets
+            # the s/2 bound
+            if abs(c) == 127 and abs(x / s) > 127.5:
+                n_clip += 1  # clipped lane: error unbounded by s/2
+                continue
+            assert abs(x - c * s) <= s / 2 + 1e-9, (r["vec_id"], x, c, s)
+        assert n_clip == r["n_clipped"]
