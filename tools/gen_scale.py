@@ -137,7 +137,16 @@ def main() -> int:
     ):
         n = BASE[name] * args.factor
         tbl = gen(rng, n)
-        pq.write_table(tbl, os.path.join(args.out, f"{name}.parquet"))
+        # bounded row groups: parquet scan parallelism is limited by row
+        # group boundaries, so a single-group 1M-row file serializes
+        # every downstream scan into ONE task (observed 26x on a narrow
+        # projection before this cap) — real multi-file 100 TB layouts
+        # never have that property, and the trend must not measure it
+        pq.write_table(
+            tbl,
+            os.path.join(args.out, f"{name}.parquet"),
+            row_group_size=max(4096, n // 32),
+        )
         sizes[name] = n
         print(f"wrote {name}: {n} rows")
     with open(os.path.join(args.out, "MANIFEST.json"), "w") as f:
