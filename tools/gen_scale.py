@@ -27,8 +27,20 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-# sf0.1 row counts (TESTDATA.md / observed); sfN = factor x these
-BASE = {"documents": 5_000, "embeddings": 2_000, "events": 100_000, "orders": 150_000}
+# sf0.1 row counts (TESTDATA.md / observed); sfN = factor x these.
+# nation/region are fixed-cardinality at every scale factor (TPC-H
+# convention) and are copied from the sf0.1 fixtures verbatim.
+BASE = {
+    "documents": 5_000,
+    "embeddings": 2_000,
+    "events": 100_000,
+    "orders": 150_000,
+    "lineitem": 600_000,
+    "customer": 15_000,
+    "part": 20_000,
+    "supplier": 1_000,
+}
+FIXED_DIMS = ("nation", "region")
 
 # the fixture corpus vocabulary (31 tokens observed at every sf)
 VOCAB = [
@@ -120,6 +132,80 @@ def gen_orders(rng: np.random.Generator, n: int) -> pa.Table:
     )
 
 
+_RF_LS = [("A", "F"), ("A", "O"), ("N", "F"), ("N", "O"), ("R", "F"), ("R", "O")]
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+_P_ADJ = ["large", "hot", "blue", "old", "dark", "shiny", "small", "new"]
+_P_NOUN = ["ring", "bolt", "plate", "cog", "gear", "pin", "rod", "cap"]
+_P_TYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+
+_DAY_US = 24 * 3600 * 1_000_000
+
+
+def gen_lineitem(rng: np.random.Generator, n: int) -> pa.Table:
+    t0 = np.datetime64("1995-01-02T00:00:00", "us").astype(np.int64)
+    n_days = int(6.8 * 365)
+    rf, ls = zip(*(_RF_LS[int(x)] for x in rng.integers(0, len(_RF_LS), n)))
+    return pa.table(
+        {
+            "l_orderkey": pa.array(rng.integers(0, n // 4, n).astype(np.int64)),
+            "l_partkey": pa.array(rng.integers(0, n // 30, n).astype(np.int64)),
+            "l_suppkey": pa.array(rng.integers(0, n // 600, n).astype(np.int64)),
+            "l_linenumber": pa.array(rng.integers(1, 8, n).astype(np.int32)),
+            "l_quantity": pa.array(rng.integers(1, 51, n).astype(np.float64)),
+            "l_extendedprice": pa.array(np.round(rng.uniform(900, 105000, n), 2)),
+            "l_discount": pa.array(np.round(rng.integers(0, 11, n) / 100.0, 2)),
+            "l_tax": pa.array(np.round(rng.integers(0, 9, n) / 100.0, 2)),
+            "l_returnflag": pa.array(list(rf)),
+            "l_linestatus": pa.array(list(ls)),
+            "l_shipdate": pa.array(
+                (t0 + rng.integers(0, n_days, n) * _DAY_US).astype("datetime64[us]")
+            ),
+        }
+    )
+
+
+def gen_customer(rng: np.random.Generator, n: int) -> pa.Table:
+    return pa.table(
+        {
+            "c_custkey": pa.array(np.arange(n, dtype=np.int64)),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(n)]),
+            "c_nationkey": pa.array(rng.integers(0, 25, n).astype(np.int32)),
+            "c_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, n), 2)),
+            "c_mktsegment": pa.array(
+                [_SEGMENTS[int(x)] for x in rng.integers(0, 5, n)]
+            ),
+        }
+    )
+
+
+def gen_part(rng: np.random.Generator, n: int) -> pa.Table:
+    names = [
+        f"{_P_ADJ[int(a)]} {_P_NOUN[int(b)]}"
+        for a, b in zip(rng.integers(0, 8, n), rng.integers(0, 8, n))
+    ]
+    return pa.table(
+        {
+            "p_partkey": pa.array(np.arange(n, dtype=np.int64)),
+            "p_name": pa.array(names),
+            "p_brand": pa.array([f"Brand#{int(x)}" for x in rng.integers(1, 26, n)]),
+            "p_type": pa.array([_P_TYPES[int(x)] for x in rng.integers(0, 6, n)]),
+            "p_size": pa.array(rng.integers(1, 51, n).astype(np.int32)),
+            "p_retailprice": pa.array(np.round(900 + (np.arange(n) % 1000) / 10.0, 2)),
+        }
+    )
+
+
+def gen_supplier(rng: np.random.Generator, n: int) -> pa.Table:
+    return pa.table(
+        {
+            "s_suppkey": pa.array(np.arange(n, dtype=np.int64)),
+            "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n)]),
+            "s_nationkey": pa.array(rng.integers(0, 25, n).astype(np.int32)),
+            "s_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, n), 2)),
+        }
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/dcis_scale/sf1")
@@ -129,11 +215,23 @@ def main() -> int:
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(42)
     sizes = {}
+    import shutil
+
+    for dim in FIXED_DIMS:  # fixed-cardinality at every sf: copy verbatim
+        shutil.copy(
+            f"/root/testdata/sf0.1/{dim}.parquet",
+            os.path.join(args.out, f"{dim}.parquet"),
+        )
+        print(f"copied {dim} (fixed cardinality)")
     for name, gen in (
         ("documents", gen_documents),
         ("embeddings", gen_embeddings),
         ("events", gen_events),
         ("orders", gen_orders),
+        ("lineitem", gen_lineitem),
+        ("customer", gen_customer),
+        ("part", gen_part),
+        ("supplier", gen_supplier),
     ):
         n = BASE[name] * args.factor
         tbl = gen(rng, n)

@@ -62,16 +62,19 @@ def run_once(spark, name: str, sf_dir: str) -> float:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
+    ap.add_argument("--all", action="store_true", help="every registered query")
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--big", default="/tmp/dcis_scale/sf1")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
-    names = args.names or DEFAULT_QUERIES
 
     manifest = json.load(open(os.path.join(args.big, "MANIFEST.json")))
     factor = manifest["factor"]
 
     registry.load_all()
+    names = (
+        sorted(registry.QUERIES) if args.all else (args.names or DEFAULT_QUERIES)
+    )
     spark = get_spark("scale-trend")
 
     results = {}
