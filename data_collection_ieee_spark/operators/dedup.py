@@ -411,6 +411,74 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verified_pairs(candidates, sh)
 
 
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+pairs AS (
+  SELECT len(list_intersect(a.shingles, b.shingles)) AS inter,
+         len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)) AS uni
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) >= 1
+),
+hist AS (
+  SELECT CAST((10 * inter) // uni AS INT) AS jaccard_bucket,
+         COUNT(*) AS n_pairs
+  FROM pairs GROUP BY 1
+)
+SELECT jaccard_bucket, n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY jaccard_bucket DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_pairs_at_or_above
+FROM hist
+""",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration histogram — the sweep a dedup campaign
+    runs BEFORE choosing τ: every candidate pair sharing ≥ 1 shingle,
+    bucketed by Jaccard decile, with the cumulative pair count at or
+    above each bucket (i.e. "how many pairs would τ = b/10 remove").
+    Buckets are exact integer arithmetic ((10·inter) DIV union — no
+    float ever touches a boundary), so the histogram is bit-stable
+    across engines.
+
+    Plan: the same postings count-join as `dedup_ngram_jaccard`'s
+    default path (shuffle on 8-byte shingle hashes, map-side combined
+    per-pair counts) but WITHOUT the threshold filter, then an 11-row
+    aggregate; the cumulative window runs over those ≤ 11 rows. At
+    100 TB the threshold-free sweep inherits the Σ df² candidate cost
+    with no prefix-filter escape (the prefix theorem needs a τ), so
+    the campaign-scale form runs on a stratified sample
+    (`sample_stratified` is the companion operator) — calibration
+    needs distribution shape, not the full census."""
+    sh = _shingles_df(spark, sf_dir)
+    postings = sh.select("doc_id", F.explode("hs").alias("h"))
+    sizes = sh.select("doc_id", F.size("hs").alias("n"))
+    a = postings.select(F.col("doc_id").alias("a_id"), "h")
+    b = postings.select(F.col("doc_id").alias("b_id"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
+    hist = (
+        inter.join(F.broadcast(na), "a_id")
+        .join(F.broadcast(nb), "b_id")
+        .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .select(F.expr("CAST((10 * inter) DIV uni AS INT)").alias("jaccard_bucket"))
+        .groupBy("jaccard_bucket")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    w = Window.orderBy(F.col("jaccard_bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hist.withColumn("n_pairs_at_or_above", F.sum("n_pairs").over(w))
+
+
 _SUBSTR_W = 20  # verbatim-passage window, in tokens
 
 

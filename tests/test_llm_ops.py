@@ -606,3 +606,20 @@ def test_quantize_int8_reconstruction_bound(spark, sf_dir):
                 continue
             assert abs(x - c * s) <= s / 2 + 1e-9, (r["vec_id"], x, c, s)
         assert n_clip == r["n_clipped"]
+
+
+def test_threshold_sweep_consistent_with_jaccard_pairs(spark, sf_dir):
+    """The calibration histogram must agree with the pair operator at
+    its own threshold: cumulative pairs at bucket >= 8 equals the
+    dedup_ngram_jaccard pair count (both sides use the identical
+    integer predicate 10*inter >= 8*union), and the histogram must
+    conserve total candidate pairs."""
+    rows = {r["jaccard_bucket"]: r for r in _rows("dedup_threshold_sweep", spark, sf_dir)}
+    n_pairs_tau = sum(r["n_pairs"] for b, r in rows.items() if b >= 8)
+    assert n_pairs_tau == len(_rows("dedup_ngram_jaccard", spark, sf_dir))
+    total = sum(r["n_pairs"] for r in rows.values())
+    for b, r in rows.items():
+        assert r["n_pairs_at_or_above"] == sum(
+            rows[b2]["n_pairs"] for b2 in rows if b2 >= b
+        )
+    assert total == max(r["n_pairs_at_or_above"] for r in rows.values())
