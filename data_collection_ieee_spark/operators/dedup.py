@@ -479,6 +479,80 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.withColumn("n_pairs_at_or_above", F.sum("n_pairs").over(w))
 
 
+CONTAINMENT_THRESHOLD_PCT = 90  # integer-exact: 100*inter >= PCT*min(|A|,|B|)
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         len(list_intersect(a.shingles, b.shingles)) AS inter,
+         len(a.shingles) AS n_a, len(b.shingles) AS n_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(CAST(inter AS DOUBLE) / least(n_a, n_b), 4) AS containment,
+       CASE WHEN n_a <= n_b THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+FROM pairs
+WHERE 100 * inter >= {CONTAINMENT_THRESHOLD_PCT} * least(n_a, n_b)
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: pairs where ≥ 90% of the SMALLER
+    document's shingles appear in the larger one — the doc-inside-doc
+    duplicates (quoted article + commentary, page + boilerplate wrapper)
+    that symmetric Jaccard structurally misses (a small doc embedded in
+    one 10× its size has containment 1.0 but Jaccard ≤ 0.1). The
+    `direction` column says which side is the contained one. Threshold
+    is exact integer arithmetic (100·inter ≥ 90·min(n_a, n_b)); no
+    float ever touches the predicate.
+
+    Plan: the same postings count-join candidate generation as
+    `dedup_ngram_jaccard`'s default path (shuffle on 8-byte shingle
+    hashes, map-side-combined per-pair intersection counts, broadcast
+    size attach). The Jaccard prefix-filter escape does NOT transfer:
+    containment has no lower bound on the larger set's size, so the
+    prefix theorem's ⌈τ·n⌉ bound only holds for the smaller side. At
+    campaign scale the standard moves are (a) df-capping the postings
+    (drop shingles with df above a cutoff — boilerplate carries no
+    containment signal) and (b) banding the SMALLER set's bottom-k
+    sketch; both preserve this operator's output contract on the
+    surviving candidates."""
+    sh = _shingles_df(spark, sf_dir)
+    postings = sh.select("doc_id", F.explode("hs").alias("h"))
+    sizes = sh.select("doc_id", F.size("hs").cast("long").alias("n"))
+    a = postings.select(F.col("doc_id").alias("a_id"), "h")
+    b = postings.select(F.col("doc_id").alias("b_id"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
+    m = F.least("n_a", "n_b")
+    return (
+        inter.join(F.broadcast(na), "a_id")
+        .join(F.broadcast(nb), "b_id")
+        .filter(100 * F.col("inter") >= CONTAINMENT_THRESHOLD_PCT * m)
+        .select(
+            "a_id",
+            "b_id",
+            F.col("inter").cast("long").alias("inter"),
+            "n_a",
+            "n_b",
+            F.round(F.col("inter").cast("double") / m, 4).alias("containment"),
+            F.when(F.col("n_a") <= F.col("n_b"), F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a"))
+            .alias("direction"),
+        )
+    )
+
+
 _SUBSTR_W = 20  # verbatim-passage window, in tokens
 
 

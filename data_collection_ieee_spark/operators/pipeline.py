@@ -494,3 +494,86 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_clipped"),
     )
+
+
+_MIX_ALPHA = 0.7  # temperature exponent: w_i ∝ (tokens_i)^α
+_MIX_BUDGET = 1_000_000_000  # notional training budget, tokens
+
+
+@query(
+    "mix_temperature_resample",
+    oracle=f"""
+WITH g AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(CAST(len(string_split(text,' ')) AS BIGINT)) AS BIGINT) AS sum_tokens
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT *, CAST(round(pow(CAST(sum_tokens AS DOUBLE), {_MIX_ALPHA}), 6)
+                 AS DECIMAL(30,6)) AS term
+  FROM g
+),
+w AS (
+  SELECT source, n_docs, sum_tokens,
+         round(CAST(sum_tokens AS DOUBLE) / SUM(sum_tokens) OVER (), 6) AS token_share,
+         round(CAST(term AS DOUBLE) / CAST(SUM(term) OVER () AS DOUBLE), 6) AS weight
+  FROM t
+)
+SELECT source, n_docs, sum_tokens, token_share, weight,
+       CAST(round({_MIX_BUDGET} * weight, 0) AS BIGINT) AS target_tokens,
+       round(CAST(CAST(round({_MIX_BUDGET} * weight, 0) AS BIGINT) AS DOUBLE)
+             / sum_tokens, 4) AS epochs
+FROM w
+""",
+)
+def mix_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multinomial-sampling step
+    of multilingual/multi-domain LLM training à la mBERT/XLM-R and
+    Pile-style mixes): per source, natural token share p_i and the
+    α = 0.7 temperature weight w_i = tokens_i^α / Σ tokens_j^α — the
+    exponent flattens the head so low-resource sources are upsampled —
+    plus the resulting token allocation of a notional 1B-token budget
+    and the epochs over each source that allocation implies (epochs > 1
+    = the source will repeat).
+
+    Determinism: the Σ tokens_j^α normalizer is a float sum, so each
+    pow() term is rounded to 6 dp and cast DECIMAL(30,6) before the
+    exact decimal sum (registry decimal-sum convention); pow/ln stay
+    out of every threshold. target/epochs derive from the ROUNDED
+    weight so every downstream column is a pure function of published
+    columns.
+
+    Plan: one map-side-combined groupBy(source) — the only shuffle,
+    output rows = |sources| — then unpartitioned window sums over that
+    tiny aggregated frame (same shape as `mix_domain_ratios`; a global
+    window over a post-agg frame of dimension cardinality is the
+    correct 100 TB pattern, not a scale hazard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("sum_tokens"),
+    )
+    t = g.withColumn(
+        "term",
+        F.round(F.pow(F.col("sum_tokens").cast("double"), F.lit(_MIX_ALPHA)), 6).cast(
+            "decimal(30,6)"
+        ),
+    )
+    w_all = Window.partitionBy()
+    w = t.select(
+        "source",
+        "n_docs",
+        "sum_tokens",
+        F.round(
+            F.col("sum_tokens").cast("double") / F.sum("sum_tokens").over(w_all), 6
+        ).alias("token_share"),
+        F.round(
+            F.col("term").cast("double") / F.sum("term").over(w_all).cast("double"), 6
+        ).alias("weight"),
+    )
+    target = F.round(F.lit(_MIX_BUDGET) * F.col("weight"), 0).cast("long")
+    return w.select(
+        "*",
+        target.alias("target_tokens"),
+        F.round(target.cast("double") / F.col("sum_tokens"), 4).alias("epochs"),
+    )

@@ -586,3 +586,68 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("keep"))
         .alias("verdict"),
     )
+
+
+@query(
+    "text_entropy_quality",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+n AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types FROM tf GROUP BY doc_id)
+SELECT n.doc_id,
+       CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       CAST(n.n_types AS BIGINT) AS n_types,
+       round(CAST(n.n_types AS DOUBLE) / n.n_tokens, 4) AS ttr,
+       round(CAST(SUM(CAST(round(
+           (CAST(tf.c AS DOUBLE) / n.n_tokens)
+             * log2(CAST(n.n_tokens AS DOUBLE) / tf.c), 9) AS DECIMAL(20,9)))
+         AS DOUBLE), 6) AS entropy_bits
+FROM tf JOIN n USING (doc_id)
+GROUP BY n.doc_id, n.n_tokens, n.n_types
+""",
+)
+def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals: per-document type/token ratio
+    and word-unigram Shannon entropy in bits — the low-end of either
+    catches machine-generated or template spam that length/stopword
+    heuristics (`text_quality_score`) miss, the standard next filter in
+    a curation ladder.
+
+    Determinism: entropy is a SUM of per-type float terms, and double
+    summation order differs between engines — so each term
+    (c/n)·log2(n/c) is rounded to 9 dp and cast to DECIMAL(20,9), the
+    sum runs in exact decimal arithmetic (order-independent), and only
+    the final value is cast back to double at 6 dp. Same convention as
+    the registry's decimal-sum rule for measures.
+
+    Plan: explode → (doc, token) counts (map-side combined) → per-doc
+    moments → join counts back on doc_id for the entropy terms →
+    map-side-combined decimal sum. Three shuffles, each keyed by doc_id
+    (or doc_id+token), every key bounded by one document's vocabulary —
+    no skew beyond the longest single document, so the shape survives
+    100 TB unchanged. All codegen; log2 stays in output values only
+    (never in a threshold — libm-vs-JVM last-ulp drift can't flip a
+    row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    n = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.count("*").alias("n_types")
+    )
+    term = F.round(
+        (F.col("c").cast("double") / F.col("n_tokens"))
+        * F.log2(F.col("n_tokens").cast("double") / F.col("c")),
+        9,
+    ).cast("decimal(20,9)")
+    return (
+        tf.join(n, "doc_id")
+        .groupBy("doc_id", "n_tokens", "n_types")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("entropy_bits"))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 4).alias("ttr"),
+            "entropy_bits",
+        )
+    )

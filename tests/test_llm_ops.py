@@ -4,6 +4,8 @@ LSH-vs-exact equivalence)."""
 
 from __future__ import annotations
 
+import os
+
 from data_collection_ieee_spark import registry
 
 
@@ -623,3 +625,123 @@ def test_threshold_sweep_consistent_with_jaccard_pairs(spark, sf_dir):
             rows[b2]["n_pairs"] for b2 in rows if b2 >= b
         )
     assert total == max(r["n_pairs_at_or_above"] for r in rows.values())
+
+
+def test_containment_matches_bruteforce(spark, sf_dir, duck):
+    """Independent implementation: Python string-trigram sets over the
+    raw parquet, exact containment, same integer predicate — must
+    reproduce the operator's pair set, scores, and directions."""
+    docs = duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    sets = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        if len(toks) < 3:
+            continue
+        sets[doc_id] = {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    expect = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            m = min(len(sets[a]), len(sets[b]))
+            if 100 * inter >= 90 * m:
+                expect[(a, b)] = (
+                    inter,
+                    round(inter / m, 4),
+                    "a_in_b" if len(sets[a]) <= len(sets[b]) else "b_in_a",
+                )
+    got = {
+        (r["a_id"], r["b_id"]): (r["inter"], r["containment"], r["direction"])
+        for r in _rows("dedup_containment", spark, sf_dir)
+    }
+    assert got == expect
+    assert expect, "fixture corpus has no containment pairs"
+
+
+def test_containment_catches_what_jaccard_misses(spark, tmp_path):
+    """The operator's reason to exist: a small doc embedded verbatim in
+    one ~5x its size has containment 1.0 (a_in_b) but Jaccard ~0.2 —
+    below the 0.8 pair threshold — so dedup_ngram_jaccard must NOT
+    pair them while dedup_containment MUST."""
+    small = " ".join(f"w{i}" for i in range(20))
+    big = small + " " + " ".join(f"x{i}" for i in range(80))
+    other = " ".join(f"y{i}" for i in range(30))
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [small, big, other],
+            "lang": ["en"] * 3,
+            "source": ["src0"] * 3,
+            "n_chars": [len(small), len(big), len(other)],
+        }
+    )
+    d = str(tmp_path / "sfsynth")
+    os.makedirs(d)
+    df.to_parquet(d + "/documents.parquet", index=False)
+    cont = {
+        (r["a_id"], r["b_id"]): (r["containment"], r["direction"])
+        for r in _rows("dedup_containment", spark, d)
+    }
+    assert cont == {(1, 2): (1.0, "a_in_b")}
+    assert _rows("dedup_ngram_jaccard", spark, d) == []
+
+
+def test_entropy_quality_matches_counter(spark, sf_dir, duck):
+    """Independent implementation: collections.Counter + math.log2 with
+    the same round-9-then-exact-sum convention must reproduce ttr and
+    entropy for every document."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    docs = duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    got = {r["doc_id"]: r for r in _rows("text_entropy_quality", spark, sf_dir)}
+    assert len(got) == len(docs)
+    for doc_id, text in docs:
+        c = Counter(text.split(" "))
+        n = sum(c.values())
+        r = got[doc_id]
+        assert r["n_tokens"] == n
+        assert r["n_types"] == len(c)
+        assert abs(r["ttr"] - len(c) / n) <= 5e-5
+        h = sum(
+            Decimal(str(round((k / n) * math.log2(n / k), 9))) for k in c.values()
+        )
+        assert abs(Decimal(str(r["entropy_bits"])) - h) <= Decimal("0.000001")
+        # entropy is bounded by log2(n_types); equality iff uniform counts
+        assert r["entropy_bits"] <= math.log2(len(c)) + 1e-6
+
+
+def test_temperature_resample_flattens_the_mix(spark, sf_dir):
+    """α < 1 must compress the head: weights sum to 1, every
+    below-average source is upsampled (weight > natural share), every
+    above-average source downsampled, ordering is preserved, and the
+    published targets/epochs are pure functions of the published
+    weight."""
+    rows = _rows("mix_temperature_resample", spark, sf_dir)
+    assert len(rows) >= 2
+    assert abs(sum(r["weight"] for r in rows) - 1.0) <= 1e-4
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) <= 1e-4
+    for r in rows:
+        assert r["target_tokens"] == round(1_000_000_000 * r["weight"])
+        assert abs(r["epochs"] - round(r["target_tokens"] / r["sum_tokens"], 4)) <= 1e-9
+    # exact flattening law: for any two sources, the weight ratio is the
+    # share ratio to the α power — strictly compressed toward 1 when the
+    # shares differ (α = 0.7 < 1)
+    for ra in rows:
+        for rb in rows:
+            if ra["sum_tokens"] > rb["sum_tokens"] * 1.01:
+                share_ratio = ra["sum_tokens"] / rb["sum_tokens"]
+                weight_ratio = ra["weight"] / rb["weight"]
+                assert abs(weight_ratio - share_ratio**0.7) <= 0.01 * share_ratio**0.7
+                assert weight_ratio < share_ratio
+    # and the smallest source gains mass relative to the largest
+    lo = min(rows, key=lambda r: r["sum_tokens"])
+    hi = max(rows, key=lambda r: r["sum_tokens"])
+    if hi["sum_tokens"] > lo["sum_tokens"] * 1.01:
+        assert lo["weight"] / lo["token_share"] > hi["weight"] / hi["token_share"]
+    by_share = sorted(rows, key=lambda r: r["token_share"])
+    by_weight = sorted(rows, key=lambda r: r["weight"])
+    assert [r["source"] for r in by_share] == [r["source"] for r in by_weight]
