@@ -459,3 +459,121 @@ def _watermark_chain(
     for k in kept_rounds[1:]:
         out = out.unionByName(k)
     return out.select("event_id", "kept_ts", "n_dropped")
+
+
+@query(
+    "events_cusum_drift",
+    oracle="""
+WITH e AS (
+  SELECT event_type, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT event_type, ts, event_id,
+         SUM(cents - 7500) OVER win AS c_pos,
+         SUM(2500 - cents) OVER win AS c_neg
+  FROM e
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+),
+s AS (
+  SELECT event_type, ts, event_id,
+         c_pos - LEAST(MIN(c_pos) OVER win, 0) AS s_pos,
+         c_neg - LEAST(MIN(c_neg) OVER win, 0) AS s_neg
+  FROM w
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+),
+a AS (
+  SELECT event_type, s_pos, s_neg,
+         s_pos > 100000 AS ap, s_neg > 100000 AS an,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn,
+         LAG(s_pos > 100000, 1, FALSE) OVER wo AS lap,
+         LAG(s_neg > 100000, 1, FALSE) OVER wo AS lan
+  FROM s
+  WINDOW wo AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN ap AND NOT lap THEN 1 ELSE 0 END
+              + CASE WHEN an AND NOT lan THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       CAST(SUM(CASE WHEN rn = 1 THEN s_pos END) AS BIGINT) AS s_pos_cents,
+       CAST(SUM(CASE WHEN rn = 1 THEN s_neg END) AS BIGINT) AS s_neg_cents,
+       BOOL_OR(rn = 1 AND (ap OR an)) AS drifting
+FROM a GROUP BY event_type
+""",
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CUSUM drift scan (Page 1954) per event type — the
+    retrospective form of `streaming/stateful.py`'s online detector
+    (same µ0/k/h constants, integer cents throughout; a pytest pins the
+    two implementations equal). The non-associative recursion
+    S_t = max(0, S_{t-1} + d_t) becomes pure window SQL via the
+    prefix-sum identity S_t = C_t − min(0, min_{j≤t} C_j), so the whole
+    scan is Catalyst window frames — no UDF, no driver loop. Alarms are
+    up-crossings of h (lag-detected), `drifting` is the final state.
+
+    Scale: per-key running windows — one shuffle on event_type, then a
+    linear in-order pass per key. Key cardinality bounds parallelism
+    (5 types here); at 100 TB the same plan runs per (type, day) with
+    day-boundary carry via the streaming operator, which IS this
+    recursion in time-chunked form with explicit carry state."""
+    from data_collection_ieee_spark.streaming.stateful import (
+        CUSUM_H_CENTS,
+        CUSUM_K_CENTS,
+        CUSUM_MU0_CENTS,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wdesc = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    up = CUSUM_MU0_CENTS + CUSUM_K_CENTS
+    dn = CUSUM_MU0_CENTS - CUSUM_K_CENTS
+    w = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(F.col("cents") - F.lit(up)).over(win).alias("c_pos"),
+        F.sum(F.lit(dn) - F.col("cents")).over(win).alias("c_neg"),
+    )
+    s = w.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("c_pos") - F.least(F.min("c_pos").over(win), F.lit(0))).alias("s_pos"),
+        (F.col("c_neg") - F.least(F.min("c_neg").over(win), F.lit(0))).alias("s_neg"),
+    )
+    h = F.lit(CUSUM_H_CENTS)
+    a = s.select(
+        "event_type",
+        "s_pos",
+        "s_neg",
+        (F.col("s_pos") > h).alias("ap"),
+        (F.col("s_neg") > h).alias("an"),
+        F.row_number().over(wdesc).alias("rn"),
+        F.lag(F.col("s_pos") > h, 1, False).over(wo).alias("lap"),
+        F.lag(F.col("s_neg") > h, 1, False).over(wo).alias("lan"),
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    return a.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.col("ap") & ~F.col("lap"), one).otherwise(zero)
+            + F.when(F.col("an") & ~F.col("lan"), one).otherwise(zero)
+        ).cast("long").alias("n_alarms"),
+        F.sum(F.when(F.col("rn") == 1, F.col("s_pos"))).cast("long").alias("s_pos_cents"),
+        F.sum(F.when(F.col("rn") == 1, F.col("s_neg"))).cast("long").alias("s_neg_cents"),
+        F.bool_or(F.when(F.col("rn") == 1, F.col("ap") | F.col("an"))).alias("drifting"),
+    )

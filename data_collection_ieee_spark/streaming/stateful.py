@@ -116,3 +116,102 @@ def make_batch_writer(out_dir: str):
             pass
 
     return write_batch
+
+
+# ---------------------------------------------------------------------------
+# per-key CUSUM drift detector
+
+# All thresholds in integer cents so every state transition is exact
+# int64 arithmetic — bit-identical under any vectorization and immune
+# to float-summation-order effects across micro-batch boundaries.
+CUSUM_MU0_CENTS = 5_000  # in-control mean (µ0 = $50)
+CUSUM_K_CENTS = 2_500  # slack k (~σ/2): drifts smaller than k are ignored
+CUSUM_H_CENTS = 100_000  # alarm threshold h ($1000 cumulative excess)
+
+CUSUM_OUTPUT_SCHEMA = (
+    "event_type string, n_seen bigint, s_pos_cents bigint, s_neg_cents bigint, "
+    "n_alarms bigint, drifting boolean"
+)
+CUSUM_STATE_SCHEMA = (
+    "s_pos bigint, s_neg bigint, above_pos boolean, above_neg boolean, "
+    "n_seen bigint, n_alarms bigint"
+)
+
+
+def _cusum_side(s0: int, d: "np.ndarray", was_above: bool):
+    """One CUSUM side, vectorized but sequentially exact (int64):
+    S_t = max(0, S_{t-1} + d_t) via the prefix-sum identity
+    S_t = C_t − min(0, min_{j≤t} C_j), C_t = S_0 + Σ_{j≤t} d_j —
+    identical to the per-row loop because integer addition is
+    associative (no float rounding anywhere). Returns (final S,
+    up-crossing count of h, final above flag)."""
+    if len(d) == 0:
+        return s0, 0, was_above
+    c = s0 + np.cumsum(d, dtype="int64")
+    s = c - np.minimum(np.minimum.accumulate(c), 0)
+    above = s > CUSUM_H_CENTS
+    prev = np.concatenate(([was_above], above[:-1]))
+    crossings = int(np.count_nonzero(above & ~prev))
+    return int(s[-1]), crossings, bool(above[-1])
+
+
+def _update_cusum_state(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    s_pos, s_neg, above_pos, above_neg, n_seen, n_alarms = (
+        state.get if state.exists else (0, 0, False, False, 0, 0)
+    )
+    for pdf in pdfs:
+        # arrival order across micro-batches, event-time order within
+        # one (event_id tiebreak): the only deterministic order a
+        # stream can give an order-sensitive detector
+        pdf = pdf.sort_values(["ts", "event_id"])
+        v = pdf["value"].to_numpy(dtype="float64") * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
+        s_pos, c_pos, above_pos = _cusum_side(
+            s_pos, cents - CUSUM_MU0_CENTS - CUSUM_K_CENTS, above_pos
+        )
+        s_neg, c_neg, above_neg = _cusum_side(
+            s_neg, CUSUM_MU0_CENTS - cents - CUSUM_K_CENTS, above_neg
+        )
+        n_alarms += c_pos + c_neg
+        n_seen += len(pdf)
+    state.update((s_pos, s_neg, above_pos, above_neg, n_seen, n_alarms))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_seen": [n_seen],
+            "s_pos_cents": [s_pos],
+            "s_neg_cents": [s_neg],
+            "n_alarms": [n_alarms],
+            "drifting": [above_pos or above_neg],
+        }
+    )
+
+
+def cusum_drift(events: DataFrame) -> DataFrame:
+    """Streaming per-event-type CUSUM drift detector (Page 1954) with
+    explicit cross-batch state: two one-sided cumulative sums catch
+    sustained up/down shifts of the value stream away from the
+    in-control mean — the online complement to the batch z-score query
+    (`events_anomaly_zscore`), which needs the whole day before it can
+    speak. `n_alarms` counts up-crossings of h (no reset — the sum
+    itself documents the excursion); `drifting` is the live state.
+
+    At 100 TB/unbounded: state is one 6-field row per key in the state
+    store, partitioned by key across executors; per batch each key does
+    one Arrow transfer + O(rows) int64 vector work. Nothing rescans
+    history."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_cusum_state,
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

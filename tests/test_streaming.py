@@ -4,6 +4,8 @@ windows, watermark dedup."""
 
 from __future__ import annotations
 
+import os
+
 from data_collection_ieee_spark import registry
 from data_collection_ieee_spark.catalog import load_table
 from data_collection_ieee_spark.streaming import parity
@@ -229,3 +231,135 @@ def test_stateful_checkpoint_resume_across_restarts(spark, sf_dir, tmp_path):
         for r in second
     }
     assert got == {u: batch[u] for u in got}
+
+
+def test_cusum_drift_matches_reference_across_microbatches(spark, sf_dir):
+    """applyInPandasWithState CUSUM over 3 micro-batches must equal a
+    pure-Python int64 reference that replays the SAME arrival order
+    (file-slice chunks, event-time-sorted within each): integer
+    arithmetic makes the match exact, so state provably carries the
+    detector (not just counters) across batch boundaries."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from data_collection_ieee_spark.streaming import stateful
+
+    events = parity.read_events_stream(spark, sf_dir, n_files=3, files_per_trigger=1)
+    out = parity.run_to_memory(stateful.cusum_drift(events), mode="update").collect()
+    final = {}
+    for r in out:  # last emitted row per key = highest n_seen
+        if r["event_type"] not in final or r["n_seen"] > final[r["event_type"]]["n_seen"]:
+            final[r["event_type"]] = r
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").to_pydict()
+    n = len(tbl["event_id"])
+    rows = list(zip(tbl["ts"], tbl["event_id"], tbl["event_type"], tbl["value"]))
+    step = math.ceil(n / 3)
+    ref = {}
+    for b in range(3):
+        chunk = sorted(rows[b * step : (b + 1) * step])  # (ts, event_id) order
+        for ts, eid, etype, value in chunk:
+            s_pos, s_neg, ap, an, n_seen, n_alarms = ref.get(
+                etype, (0, 0, False, False, 0, 0)
+            )
+            cents = int(math.copysign(math.floor(abs(value * 100) + 0.5), value))
+            s_pos = max(0, s_pos + cents - 5_000 - 2_500)
+            s_neg = max(0, s_neg + 5_000 - cents - 2_500)
+            now_ap, now_an = s_pos > 100_000, s_neg > 100_000
+            n_alarms += int(now_ap and not ap) + int(now_an and not an)
+            ref[etype] = (s_pos, s_neg, now_ap, now_an, n_seen + 1, n_alarms)
+
+    assert set(final) == set(ref)
+    for etype, (s_pos, s_neg, ap, an, n_seen, n_alarms) in ref.items():
+        r = final[etype]
+        assert (
+            r["n_seen"],
+            r["s_pos_cents"],
+            r["s_neg_cents"],
+            r["n_alarms"],
+            r["drifting"],
+        ) == (n_seen, s_pos, s_neg, n_alarms, ap or an), etype
+
+
+def test_cusum_planted_drift_alarms(spark, tmp_path):
+    """Detector semantics on controlled data: a sustained +$40 shift
+    and a sustained -$40 shift must each raise exactly one alarm (after
+    the shift, never before), while an in-control stream stays silent."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from data_collection_ieee_spark.streaming import stateful
+
+    t0 = dt.datetime(2024, 1, 1)
+    recs = []
+    eid = 0
+
+    def emit(etype, value, n):
+        nonlocal eid
+        for _ in range(n):
+            recs.append(
+                {
+                    "event_id": eid,
+                    "ts": t0 + dt.timedelta(seconds=eid),
+                    "user_id": eid % 7,
+                    "event_type": etype,
+                    "value": value,
+                    "props": "{}",
+                }
+            )
+            eid += 1
+
+    emit("stable", 50.0, 300)
+    emit("shift_up", 50.0, 100)
+    emit("shift_up", 90.0, 200)  # d+ = +1500c/event -> crosses h=100000c once
+    emit("shift_down", 50.0, 100)
+    emit("shift_down", 10.0, 200)  # d- = +1500c/event -> one alarm
+    d = str(tmp_path / "sfcusum")
+    os.makedirs(d)
+    pd.DataFrame(recs).to_parquet(d + "/events.parquet", index=False)
+
+    events = parity.read_events_stream(spark, d, n_files=2, files_per_trigger=1)
+    out = parity.run_to_memory(stateful.cusum_drift(events), mode="update").collect()
+    final = {}
+    for r in out:
+        if r["event_type"] not in final or r["n_seen"] > final[r["event_type"]]["n_seen"]:
+            final[r["event_type"]] = r
+
+    assert final["stable"]["n_alarms"] == 0 and not final["stable"]["drifting"]
+    assert final["shift_up"]["n_alarms"] == 1 and final["shift_up"]["drifting"]
+    assert final["shift_up"]["s_pos_cents"] > 100_000
+    assert final["shift_down"]["n_alarms"] == 1 and final["shift_down"]["drifting"]
+    assert final["shift_down"]["s_neg_cents"] > 100_000
+
+
+def test_cusum_batch_query_equals_streaming_operator(spark, sf_dir):
+    """The oracle-checked window-SQL form and the stateful streaming
+    kernel implement the SAME recursion with the same constants: with a
+    single micro-batch (arrival order == global event-time order) every
+    field must match bit-exactly — integers all the way down."""
+    batch = {
+        r["event_type"]: r
+        for r in registry.QUERIES["events_cusum_drift"](spark, sf_dir).collect()
+    }
+    from data_collection_ieee_spark.streaming import stateful
+
+    events = parity.read_events_stream(spark, sf_dir)
+    out = parity.run_to_memory(stateful.cusum_drift(events), mode="update").collect()
+    assert {r["event_type"] for r in out} == set(batch)
+    for r in out:
+        b = batch[r["event_type"]]
+        assert (
+            r["n_seen"],
+            r["s_pos_cents"],
+            r["s_neg_cents"],
+            r["n_alarms"],
+            r["drifting"],
+        ) == (
+            b["n_events"],
+            b["s_pos_cents"],
+            b["s_neg_cents"],
+            b["n_alarms"],
+            b["drifting"],
+        ), r["event_type"]
