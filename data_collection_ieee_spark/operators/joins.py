@@ -571,3 +571,113 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("action"),
     )
+
+
+_OVL_BUCKET_S = 3600  # interval-overlap join bucket width (1 hour)
+
+
+@query(
+    "join_session_overlap",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id,
+         CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))
+                   > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+tagged AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+           AS session_seq
+  FROM ordered
+),
+s AS (
+  SELECT user_id, session_seq, MIN(ts) AS st, MAX(ts) AS en
+  FROM tagged GROUP BY user_id, session_seq
+)
+SELECT a.user_id AS user_a, a.session_seq AS session_a,
+       b.user_id AS user_b, b.session_seq AS session_b,
+       greatest(a.st, b.st) AS overlap_start,
+       least(a.en, b.en) AS overlap_end,
+       epoch_us(least(a.en, b.en)) - epoch_us(greatest(a.st, b.st)) AS overlap_us
+FROM s a JOIN s b
+  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+""",
+)
+def join_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: every pair of DIFFERENT users whose
+    30-minute sessions overlap in wall-clock time (concurrency
+    analysis: co-active users, contention windows). Distinct from
+    `join_theta_range` (point-within-delta): both sides are intervals
+    of arbitrary length, so each interval is decomposed into the 1-hour
+    buckets it TOUCHES (`sequence` explode), the join runs as a pure
+    equi-join on bucket, the exact overlap predicate filters after, and
+    the classic assign-to-one-bucket rule — keep the pair only in the
+    bucket containing `greatest(start_a, start_b)`, which both sides
+    necessarily touch — dedupes multi-bucket pairs WITHOUT a distinct
+    shuffle.
+
+    Scale: candidates are Σ_b n_b² over sessions touching each bucket —
+    bucket width tuned to typical interval length keeps n_b bounded by
+    true temporal density (skewed hot hours split further via AQE or a
+    sub-bucket salt). Same-user sessions are disjoint by construction
+    (> 30 min apart), so `user_a < user_b` loses nothing."""
+    from data_collection_ieee_spark.operators.streaming_shaped import stream_session
+
+    spans = stream_session(spark, sf_dir).select(
+        "user_id",
+        "session_seq",
+        F.unix_micros("session_start").alias("st_us"),
+        F.unix_micros("session_end").alias("en_us"),
+        "session_start",
+        "session_end",
+    )
+    wus = _OVL_BUCKET_S * 1_000_000
+    bucketed = spans.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(F.expr(f"st_us DIV {wus}"), F.expr(f"en_us DIV {wus}"))
+        ),
+    )
+    a = bucketed.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_seq").alias("session_a"),
+        F.col("st_us").alias("st_a"),
+        F.col("en_us").alias("en_a"),
+        F.col("session_start").alias("start_a"),
+        F.col("session_end").alias("end_a"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_seq").alias("session_b"),
+        F.col("st_us").alias("st_b"),
+        F.col("en_us").alias("en_b"),
+        F.col("session_start").alias("start_b"),
+        F.col("session_end").alias("end_b"),
+        "bucket",
+    )
+    ovl_st = F.greatest("st_a", "st_b")
+    return (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("st_a") <= F.col("en_b"))
+            & (F.col("st_b") <= F.col("en_a"))
+            & (F.expr(f"greatest(st_a, st_b) DIV {wus}") == F.col("bucket"))
+        )
+        .select(
+            "user_a",
+            "session_a",
+            "user_b",
+            "session_b",
+            F.greatest("start_a", "start_b").alias("overlap_start"),
+            F.least("end_a", "end_b").alias("overlap_end"),
+            (F.least("en_a", "en_b") - ovl_st).alias("overlap_us"),
+        )
+    )

@@ -745,3 +745,77 @@ def test_temperature_resample_flattens_the_mix(spark, sf_dir):
     by_share = sorted(rows, key=lambda r: r["token_share"])
     by_weight = sorted(rows, key=lambda r: r["weight"])
     assert [r["source"] for r in by_share] == [r["source"] for r in by_weight]
+
+
+def test_session_overlap_matches_bruteforce(spark, sf_dir):
+    """Independent implementation: all-pairs Python loop over the
+    sessionization operator's own spans (no bucketing anywhere) must
+    reproduce the bucketized join's pair set exactly — proving the
+    bucket decomposition neither drops boundary-spanning overlaps nor
+    double-counts pairs that share several buckets."""
+    spans = [
+        (r["user_id"], r["session_seq"], r["session_start"], r["session_end"])
+        for r in _rows("stream_session", spark, sf_dir)
+    ]
+    expect = {}
+    for ua, sa, st_a, en_a in spans:
+        for ub, sb, st_b, en_b in spans:
+            if ua < ub and st_a <= en_b and st_b <= en_a:
+                ovl = (
+                    min(en_a, en_b) - max(st_a, st_b)
+                ).total_seconds()
+                expect[(ua, sa, ub, sb)] = round(ovl * 1_000_000)
+    got = {
+        (r["user_a"], r["session_a"], r["user_b"], r["session_b"]): r["overlap_us"]
+        for r in _rows("join_session_overlap", spark, sf_dir)
+    }
+    rows = _rows("join_session_overlap", spark, sf_dir)
+    assert len(rows) == len(got), "duplicate pairs emitted"
+    assert got == expect
+    assert expect, "fixture corpus has no overlapping sessions"
+
+
+def test_session_overlap_dedups_multi_bucket_pairs(spark, tmp_path):
+    """Planted case the corpus lacks: two users whose sessions overlap
+    ACROSS an hour-bucket boundary (the pair is a candidate in every
+    shared bucket) must be emitted exactly once, with the exact overlap
+    span; a third user far away must pair with no one."""
+    import datetime as dt
+
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 3, 1, 10, 30)  # 10:30 — sessions straddle 11:00 and 12:00
+    recs = []
+    eid = 0
+
+    def emit(user, start, minutes_list):
+        nonlocal eid
+        for m in minutes_list:
+            recs.append(
+                {
+                    "event_id": eid,
+                    "ts": start + dt.timedelta(minutes=m),
+                    "user_id": user,
+                    "event_type": "click",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+            eid += 1
+
+    emit(1, t0, range(0, 120, 20))  # one session 10:30-12:10 (gaps 20min < 30)
+    emit(2, t0 + dt.timedelta(minutes=30), range(0, 100, 20))  # 11:00-12:40
+    emit(3, t0 + dt.timedelta(hours=30), [0])  # isolated
+    d = str(tmp_path / "sfovl")
+    os.makedirs(d)
+    pd.DataFrame(recs).to_parquet(d + "/events.parquet", index=False)
+
+    rows = _rows("join_session_overlap", spark, d)
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_a"], r["user_b"]) == (1, 2)
+    # overlap = [11:00, 12:10] — 70 minutes, crossing the 11:00 and
+    # 12:00 bucket boundaries (3 shared buckets, emitted once)
+    assert r["overlap_start"] == t0 + dt.timedelta(minutes=30)
+    assert r["overlap_end"] == t0 + dt.timedelta(minutes=100)
+    assert r["overlap_us"] == 70 * 60 * 1_000_000
