@@ -15,7 +15,7 @@ bibliometric-style aggregation surface its schema implies
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_collection_ieee_spark.catalog import load_table
@@ -524,4 +524,103 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return na.groupBy("n_regionkey").agg(
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
         F.count("*").cast("int").alias("n"),
+    )
+
+
+@query(
+    "stats_ks_source",
+    oracle="""
+WITH lens AS (SELECT source, n_chars AS x FROM documents),
+ns AS (SELECT source, COUNT(*) AS n FROM lens GROUP BY source),
+hist AS (SELECT source, x, COUNT(*) AS cnt FROM lens GROUP BY source, x),
+xs AS (SELECT DISTINCT x FROM lens),
+grid AS (SELECT ns.source, ns.n, xs.x FROM ns CROSS JOIN xs),
+cum AS (
+  SELECT grid.source, grid.n, grid.x,
+         SUM(COALESCE(hist.cnt, 0)) OVER (PARTITION BY grid.source ORDER BY grid.x
+                                          ROWS UNBOUNDED PRECEDING) AS c
+  FROM grid LEFT JOIN hist ON grid.source = hist.source AND grid.x = hist.x
+),
+num AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.n AS n_a, b.n AS n_b, a.x,
+         abs(a.c * b.n - b.c * a.n) AS num
+  FROM cum a JOIN cum b ON a.x = b.x AND a.source < b.source
+),
+w AS (
+  SELECT *, MAX(num) OVER (PARTITION BY source_a, source_b) AS mx FROM num
+)
+SELECT source_a, source_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(CAST(mx AS DOUBLE) / (n_a * n_b), 6) AS ks_stat,
+       CAST(MIN(CASE WHEN num = mx THEN x END) AS BIGINT) AS ks_at_value
+FROM w GROUP BY source_a, source_b, n_a, n_b, mx
+""",
+)
+def stats_ks_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between every pair of
+    sources over the document-length distribution — the drift test a
+    curation pipeline runs when a new crawl lands ("does src3's length
+    profile match src1's?"). D = max_x |F_a(x) − F_b(x)| evaluated on
+    the exact value grid; the comparison is integer cross-multiplied
+    (|c_a·n_b − c_b·n_a| over the common denominator n_a·n_b), so the
+    max and its argmax (smallest attaining x, a total order) are exact —
+    the only float op is the final reported division. The cross-product
+    fits int64 up to ~3·10⁹ docs per source pair; beyond that, lift to
+    DECIMAL(38,0) or evaluate on a t-digest grid.
+
+    Plan: per-source histograms (map-side combined) → cumulative counts
+    via per-source ordered windows over the value GRID (sources ×
+    distinct values — cardinality is distinct-value-bounded, not
+    row-bounded) → pair join on x → windowed max + argmax. At 100 TB
+    the grid stays small for integer-ish features; for continuous ones
+    the same plan runs over sketch quantile boundaries."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("x")
+    )
+    ns = docs.groupBy("source").agg(F.count("*").alias("n"))
+    hist = docs.groupBy("source", "x").agg(F.count("*").alias("cnt"))
+    xs = docs.select("x").distinct()
+    grid = ns.crossJoin(xs)
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        grid.join(hist, ["source", "x"], "left")
+        .withColumn("c", F.sum(F.coalesce("cnt", F.lit(0))).over(wc))
+        .select("source", "n", "x", "c")
+    )
+    a = cum.select(
+        F.col("source").alias("source_a"),
+        F.col("n").alias("n_a"),
+        "x",
+        F.col("c").alias("c_a"),
+    )
+    b = cum.select(
+        F.col("source").alias("source_b"),
+        F.col("n").alias("n_b"),
+        "x",
+        F.col("c").alias("c_b"),
+    )
+    num = (
+        a.join(b, "x")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .withColumn("num", F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")))
+    )
+    wm = Window.partitionBy("source_a", "source_b")
+    w = num.withColumn("mx", F.max("num").over(wm))
+    return w.groupBy("source_a", "source_b", "n_a", "n_b", "mx").agg(
+        F.min(F.when(F.col("num") == F.col("mx"), F.col("x"))).cast("long").alias(
+            "ks_at_value"
+        )
+    ).select(
+        "source_a",
+        "source_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("mx").cast("double") / (F.col("n_a") * F.col("n_b")), 6).alias(
+            "ks_stat"
+        ),
+        "ks_at_value",
     )

@@ -577,3 +577,52 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") == 1, F.col("s_neg"))).cast("long").alias("s_neg_cents"),
         F.bool_or(F.when(F.col("rn") == 1, F.col("ap") | F.col("an"))).alias("drifting"),
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n,
+       round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM t
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for each
+    (prev event type → next event type) pair, the transition count and
+    the row-normalized probability — the standard behavioral-model /
+    anomalous-path input. Transitions are per user in event-time order
+    (event_id tiebreak).
+
+    Plan: one shuffle on user_id for the lag window (linear per-key
+    scan), one map-side-combined groupBy on the (prev, next) pair —
+    output is |types|² rows, so the normalizing window runs over a
+    frame of at most type-cardinality rows per partition key. The
+    probability is one double division of two exact longs, rounded —
+    nothing to drift."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    t = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return t.withColumn(
+        "p", F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6)
+    )

@@ -819,3 +819,36 @@ def test_session_overlap_dedups_multi_bucket_pairs(spark, tmp_path):
     assert r["overlap_start"] == t0 + dt.timedelta(minutes=30)
     assert r["overlap_end"] == t0 + dt.timedelta(minutes=100)
     assert r["overlap_us"] == 70 * 60 * 1_000_000
+
+
+def test_ks_source_matches_python_reference(spark, sf_dir, duck):
+    """Independent implementation: per-pair sorted-sample ECDF scan in
+    exact Fraction arithmetic must reproduce the KS statistic and its
+    smallest attaining grid value."""
+    from fractions import Fraction
+
+    samples = {}
+    for source, x in duck.execute("SELECT source, n_chars FROM documents").fetchall():
+        samples.setdefault(source, []).append(x)
+    got = {
+        (r["source_a"], r["source_b"]): r for r in _rows("stats_ks_source", spark, sf_dir)
+    }
+    srcs = sorted(samples)
+    expect_pairs = {(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]}
+    assert set(got) == expect_pairs
+    for (sa, sb), r in got.items():
+        va, vb = sorted(samples[sa]), sorted(samples[sb])
+        na, nb = len(va), len(vb)
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        best, best_x = Fraction(0), None
+        for x in sorted(set(va) | set(vb)):
+            import bisect
+
+            d = abs(
+                Fraction(bisect.bisect_right(va, x), na)
+                - Fraction(bisect.bisect_right(vb, x), nb)
+            )
+            if d > best:
+                best, best_x = d, x
+        assert abs(r["ks_stat"] - float(best)) <= 1e-6, (sa, sb)
+        assert r["ks_at_value"] == best_x, (sa, sb)

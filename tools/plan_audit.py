@@ -51,6 +51,7 @@ CROSS_OK = {
     "text_token_rarity",  # 1-row corpus-moments scalar rides a broadcast nested loop
     "sim_ann_ivf",  # probe × 16-row centroid table: broadcast nested loop by design
     "sim_ann_hyperplane",  # 1-row probe rides a broadcast nested loop by design
+    "stats_ks_source",  # |sources| × distinct-values ECDF grid: bounded cross join by design
 }
 # roundtrip sinks re-read their own CSV/JSON output with a bare scan —
 # nothing above the scan to fuse, so the absence of a codegen span is
