@@ -624,3 +624,63 @@ def stats_ks_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "ks_at_value",
     )
+
+
+@query(
+    "stats_gini_tokens",
+    oracle="""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+  FROM documents
+),
+r AS (
+  SELECT source, x,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS i
+  FROM t
+),
+g AS (
+  SELECT source, COUNT(*) AS n, SUM(x) AS tot, SUM(i * x) AS s1
+  FROM r GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(tot AS BIGINT) AS sum_tokens,
+       round(CAST(2 * s1 - (n + 1) * tot AS DOUBLE) / (n * tot), 6) AS gini
+FROM g
+""",
+)
+def stats_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length (token count) within each
+    source — the inequality diagnostic a curation pipeline reads before
+    sampling (gini → 1: a few huge documents carry the source, so
+    doc-uniform sampling and token-uniform sampling diverge badly).
+
+    Computed from the sorted-rank identity
+    G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) with ranks from a per-source
+    window ordered by (x, doc_id) — tied lengths permute freely without
+    changing Σ i·xᵢ, so the statistic is deterministic and every term
+    is exact int64 (Σ i·x fits to ~10⁹ docs/source; DECIMAL(38,0)
+    beyond). One shuffle on source for the rank window (linear per-key
+    scan), then a map-side-combined aggregate; the only float op is the
+    final division."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).cast("long").alias("x")
+    )
+    wr = Window.partitionBy("source").orderBy("x", "doc_id")
+    r = docs.withColumn("i", F.row_number().over(wr))
+    g = r.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("tot"),
+        F.sum(F.col("i") * F.col("x")).alias("s1"),
+    )
+    return g.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("tot").cast("long").alias("sum_tokens"),
+        F.round(
+            (2 * F.col("s1") - (F.col("n") + 1) * F.col("tot")).cast("double")
+            / (F.col("n") * F.col("tot")),
+            6,
+        ).alias("gini"),
+    )

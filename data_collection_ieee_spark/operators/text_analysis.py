@@ -651,3 +651,57 @@ def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_bits",
         )
     )
+
+
+_TOP_TERMS_K = 3
+
+
+@query(
+    "text_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+weighted AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token ASC) AS rank
+  FROM weighted
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, token, tfidf FROM ranked WHERE rank <= {_TOP_TERMS_K}
+""",
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-{{k}} tf-idf terms with
+    their rank — the classic document-tagging / index-summary step.
+    Ranking happens on the ROUNDED tf-idf (the published value) with a
+    lexicographic token tiebreak, so the cut is a total order and the
+    result is engine-independent even where raw weights tie.
+
+    Plan: reuses `text_wordcount_tfidf`'s two map-side-combined
+    shuffles + 1-row broadcast, then ONE more window keyed by doc_id
+    (every partition bounded by a single document's vocabulary) and a
+    rank filter that Spark pushes into the window sort as a group
+    limit. No global sort anywhere."""
+    weighted = text_wordcount_tfidf(spark, sf_dir)
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        weighted.select("doc_id", "token", "tfidf")
+        .withColumn("rank", F.row_number().over(wd))
+        .filter(F.col("rank") <= _TOP_TERMS_K)
+        .select("doc_id", "rank", "token", "tfidf")
+    )

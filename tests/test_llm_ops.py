@@ -852,3 +852,54 @@ def test_ks_source_matches_python_reference(spark, sf_dir, duck):
                 best, best_x = d, x
         assert abs(r["ks_stat"] - float(best)) <= 1e-6, (sa, sb)
         assert r["ks_at_value"] == best_x, (sa, sb)
+
+
+def test_top_terms_invariants(spark, sf_dir):
+    """Composition check against the oracle-verified tfidf frame: every
+    emitted (doc, token) weight must equal the tfidf operator's weight,
+    ranks are 1..k dense per doc, and no unlisted token of the doc
+    out-weighs a listed one (the cut is correct, not just sorted)."""
+    tfidf = {}
+    for r in _rows("text_wordcount_tfidf", spark, sf_dir):
+        tfidf.setdefault(r["doc_id"], {})[r["token"]] = r["tfidf"]
+    top = {}
+    for r in _rows("text_top_terms", spark, sf_dir):
+        top.setdefault(r["doc_id"], []).append(r)
+    assert set(top) == set(tfidf)
+    for doc_id, rows in top.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) == min(3, len(tfidf[doc_id]))
+        listed = set()
+        for r in rows:
+            assert tfidf[doc_id][r["token"]] == r["tfidf"]
+            listed.add(r["token"])
+        cut = min((r["tfidf"], r["token"]) for r in rows)
+        for token, wgt in tfidf[doc_id].items():
+            if token not in listed:
+                # strictly after the cut in the (tfidf desc, token asc) order
+                assert wgt < cut[0] or (wgt == cut[0] and token > cut[1]), (
+                    doc_id,
+                    token,
+                )
+
+
+def test_gini_matches_python_reference(spark, sf_dir, duck):
+    """Independent implementation: textbook mean-absolute-difference
+    Gini (O(n²) over pairs, exact Fraction arithmetic) must agree with
+    the sorted-rank identity the operator uses."""
+    from fractions import Fraction
+
+    lens = {}
+    for source, text in duck.execute("SELECT source, text FROM documents").fetchall():
+        lens.setdefault(source, []).append(len(text.split(" ")))
+    got = {r["source"]: r for r in _rows("stats_gini_tokens", spark, sf_dir)}
+    assert set(got) == set(lens)
+    for source, xs in lens.items():
+        n, tot = len(xs), sum(xs)
+        mad = sum(abs(a - b) for a in xs for b in xs)  # includes both orders
+        gini = Fraction(mad, 2 * n * n) / Fraction(tot, n)
+        r = got[source]
+        assert (r["n_docs"], r["sum_tokens"]) == (n, tot)
+        assert abs(r["gini"] - float(gini)) <= 1e-6, source
+        assert 0.0 <= r["gini"] < 1.0
