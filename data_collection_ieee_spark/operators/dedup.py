@@ -1041,6 +1041,65 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
 
 
+@query(
+    "dedup_semantic_keep",
+    oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id AS u, a_id AS v FROM pairs
+),
+reach(u, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+),
+lab AS (SELECT u AS vec_id, MIN(lbl) AS keeper_id FROM reach GROUP BY u),
+sz AS (SELECT keeper_id, COUNT(*) AS cluster_size FROM lab GROUP BY keeper_id)
+SELECT lab.vec_id, lab.keeper_id, CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+       CASE WHEN lab.vec_id = lab.keeper_id THEN 'keep' ELSE 'drop' END AS action
+FROM lab JOIN sz USING (keeper_id)
+""",
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup DECISION table (Abbas et al. 2023
+    shape): connected components over the exact embedding-cosine
+    near-dup graph (`dedup_embed_cosine`, cos >= 0.45), keeper = the
+    component's minimum vec_id, every other member marked `drop` — the
+    frame a curation pipeline anti-joins against the corpus. Note the
+    transitive-closure semantics are deliberate and SemDeDup-faithful:
+    a drop chain a~b~c removes c even when cos(a,c) is below threshold.
+
+    Plan: the pair graph comes from the triangle-pruned IVF block join
+    (no all-pairs anywhere); components use `connected_components`
+    (pointer-jumping min-label propagation, per-round localCheckpoint,
+    hot-hub broadcast split); sizes by aggregate-and-join, never a
+    partitionBy window over a possibly-giant cluster."""
+    pairs = dedup_embed_cosine(spark, sf_dir).select("a_id", "b_id")
+    nodes = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    labels = connected_components(spark, pairs, nodes)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("cluster_id").alias("keeper_id"),
+            "cluster_size",
+            F.when(F.col("doc_id") == F.col("cluster_id"), F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("action"),
+        )
+    )
+
+
 HOT_DEGREE = 1024  # in-degree above which a node's label is broadcast
 
 

@@ -305,3 +305,80 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.win_len").alias("win_len"),
         F.col("s.energy").alias("energy"),
     ).withColumn("mean_level", F.round(F.col("energy").cast("double") / F.col("win_len"), 4))
+
+
+_CHUNK_CHARS = 64  # fixed-width chunking (a CDC rolling boundary drops in here)
+
+
+@query(
+    "multimodal_chunk_dedup",
+    oracle=f"""
+WITH lists AS (
+  SELECT doc_id,
+         [substr(text, 1 + j * {_CHUNK_CHARS}, {_CHUNK_CHARS})
+          for j in range(0, (length(text) + {_CHUNK_CHARS} - 1) // {_CHUNK_CHARS})] AS chunks
+  FROM documents
+),
+exploded AS (
+  SELECT doc_id, md5(unnest(chunks)) AS h FROM lists
+),
+freq AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM exploded GROUP BY h
+)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+       round(CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS shared_ratio
+FROM exploded e JOIN freq f USING (h)
+GROUP BY e.doc_id
+""",
+)
+def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level storage dedup over opaque payloads — the
+    content-addressed-store diagnostic for media blobs: split each
+    payload into fixed 64-byte chunks, digest each, and report per
+    asset how many of its chunks also occur in OTHER assets (the bytes
+    a dedupe store would not have to keep twice). Fixed-width chunking
+    keeps the oracle exact; a production store swaps in content-defined
+    (rolling-hash) boundaries at the marked constant without touching
+    the plan.
+
+    Plan: in-row slice list (no string explode of transform-built
+    n-grams — chunks are disjoint slices, linear total volume, unlike
+    the overlapping-shingle trap) → posexplode → per-digest
+    document-frequency (map-side combined) → join back on digest →
+    per-asset aggregate. Two digest-keyed shuffles, both linear in
+    corpus bytes / chunk size; digests are 16-byte keys so the shuffle
+    volume is corpus_bytes/4 at this chunk size."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+                transform(
+                  sequence(0, CAST((length(text) + {_CHUNK_CHARS} - 1) DIV {_CHUNK_CHARS} AS INT) - 1),
+                  j -> substring(text, 1 + j * {_CHUNK_CHARS}, {_CHUNK_CHARS}))
+                """
+            )
+        ).alias("chunk"),
+    ).select("doc_id", F.md5(F.encode("chunk", "UTF-8")).alias("h"))
+    freq = chunks.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
+    shared = F.when(F.col("ndocs") >= 2, 1).otherwise(0)
+    return (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(shared).cast("long").alias("n_shared_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared_chunks",
+            F.round(
+                F.col("n_shared_chunks").cast("double") / F.col("n_chunks"), 4
+            ).alias("shared_ratio"),
+        )
+    )

@@ -903,3 +903,44 @@ def test_gini_matches_python_reference(spark, sf_dir, duck):
         assert (r["n_docs"], r["sum_tokens"]) == (n, tot)
         assert abs(r["gini"] - float(gini)) <= 1e-6, source
         assert 0.0 <= r["gini"] < 1.0
+
+
+def test_semantic_keep_matches_union_find(spark, sf_dir):
+    """Independent implementation: driver-side union-find over the
+    oracle-checked embed-cosine pair list must reproduce keeper ids,
+    sizes, and keep/drop actions; exactly one keep per cluster and the
+    keeper keeps itself."""
+    from data_collection_ieee_spark.catalog import load_table
+
+    pairs = [(r["a_id"], r["b_id"]) for r in _rows("dedup_embed_cosine", spark, sf_dir)]
+    nodes = {
+        r["vec_id"]
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id").collect()
+    }
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), set()).add(n)
+    keeper = {n: min(comp[find(n)]) for n in nodes}
+    got = {r["vec_id"]: r for r in _rows("dedup_semantic_keep", spark, sf_dir)}
+    assert set(got) == nodes
+    kept = 0
+    for n in nodes:
+        r = got[n]
+        assert r["keeper_id"] == keeper[n], n
+        assert r["cluster_size"] == len(comp[find(n)]), n
+        assert r["action"] == ("keep" if n == keeper[n] else "drop"), n
+        kept += r["action"] == "keep"
+    assert kept == len(comp)
+    assert pairs, "fixture has no semantic near-dups; threshold too high"
