@@ -684,3 +684,78 @@ def stats_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "1997-06-01 00:00:00"
+_Q3_TOPN = 10
+
+
+@query(
+    "tpch_q3_shipping",
+    oracle=f"""
+WITH rev AS (
+  SELECT l.l_orderkey,
+         {sql_dsum("CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))", 'DECIMAL(20,4)')} AS revenue,
+         o.o_orderdate, o.o_orderpriority
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+    AND o.o_orderdate < TIMESTAMP '{_Q3_DATE}'
+    AND l.l_shipdate > TIMESTAMP '{_Q3_DATE}'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderdate ASC,
+                               l_orderkey ASC) AS rank
+  FROM rev
+)
+SELECT CAST(rank AS INT) AS rank, l_orderkey, revenue, o_orderdate, o_orderpriority
+FROM ranked WHERE rank <= {_Q3_TOPN}
+""",
+)
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style composite (shipping priority): the top unshipped
+    orders by revenue for one market segment — the benchmark's classic
+    3-table join → aggregate → top-N, here as one declarative plan so
+    Catalyst makes every scale decision: segment and date predicates
+    push to the parquet scans, column pruning cuts lineitem to 4
+    columns, AQE picks join strategy/side (customer-after-filter is
+    broadcastable at small SF, shuffle join beyond), revenue is a
+    map-side-combined decimal sum, and the top-10 compiles to
+    TakeOrderedAndProject — no global sort. Rank is an explicit column
+    with a (revenue, date, orderkey) total-order tiebreak per the
+    registry's order-encoding convention."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == _Q3_SEGMENT
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp")
+    )
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast(RATE) - dec("l_discount", RATE))).cast(
+                    "decimal(20,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    top = rev.orderBy(
+        F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()
+    ).limit(_Q3_TOPN)
+    w = Window.orderBy(
+        F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "l_orderkey", "revenue", "o_orderdate", "o_orderpriority"
+    )

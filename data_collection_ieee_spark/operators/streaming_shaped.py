@@ -626,3 +626,40 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.withColumn(
         "p", F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6)
     )
+
+
+@query(
+    "events_cumulative_users",
+    oracle="""
+WITH first_day AS (
+  SELECT user_id,
+         CAST(date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS day
+  FROM events GROUP BY user_id
+),
+daily AS (SELECT day, COUNT(*) AS new_users FROM first_day GROUP BY day)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS total_users
+FROM daily
+""",
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-growth curve: per day, the count of first-ever-seen users
+    and the cumulative user total — the dedup-then-cumsum shape every
+    DAU/MAU dashboard needs (a naive COUNT(DISTINCT) per day over a
+    growing prefix rescans history quadratically; first-touch
+    attribution makes it one linear pass).
+
+    Plan: per-user MIN(ts) (map-side combined — the only shuffle that
+    scales with data), day rollup, then the running sum over the tiny
+    per-day aggregate (frame = number of days, not rows — the allowed
+    global-window-on-aggregate pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    daily = first_day.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.withColumn(
+        "total_users", F.sum("new_users").over(w).cast("long")
+    )
