@@ -577,3 +577,90 @@ def mix_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.alias("target_tokens"),
         F.round(target.cast("double") / F.col("sum_tokens"), 4).alias("epochs"),
     )
+
+
+def _scorecard_oracle() -> str:
+    """Compose the constituents' registered oracle SQL as CTEs — the
+    scorecard's oracle can never drift from the operators it joins."""
+    # imported for registration side effect: load_all() imports modules
+    # alphabetically, so text_analysis hasn't registered yet when this
+    # module is first executed
+    from data_collection_ieee_spark.operators import text_analysis  # noqa: F401
+    from data_collection_ieee_spark.registry import ORACLES
+
+    return f"""
+WITH q AS ({ORACLES["pipeline_quality_filter"]}),
+r AS ({ORACLES["text_repetition_signals"]}),
+t AS ({ORACLES["text_token_rarity"]}),
+lg AS ({ORACLES["text_lang_id"]})
+SELECT q.doc_id, lg.pred_lang, q.n_tokens,
+       q.verdict AS quality_verdict,
+       r.verdict AS repetition_verdict,
+       t.verdict AS rarity_verdict,
+       CASE WHEN q.verdict <> 'keep' THEN q.verdict
+            WHEN r.verdict <> 'keep' THEN r.verdict
+            WHEN t.verdict <> 'keep' THEN t.verdict
+            ELSE 'keep' END AS final_verdict
+FROM q
+JOIN r ON q.doc_id = r.doc_id
+JOIN t ON q.doc_id = t.doc_id
+JOIN lg ON q.doc_id = lg.doc_id
+"""
+
+
+@query(
+    "pipeline_doc_scorecard",
+    oracle=_scorecard_oracle(),
+)
+def pipeline_doc_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation labels table: every verdict-bearing signal
+    of the quality ladder joined into one row per doc — predicted
+    language, the quality-gate / repetition / token-rarity verdicts,
+    and a precedence-resolved final_verdict (quality > repetition >
+    rarity; first non-keep wins). This is the frame a campaign
+    MATERIALIZES once and every downstream job (sampling, mixing,
+    reporting) reads — the complement of `pipeline_curate_corpus`,
+    which fuses the decisions straight into a manifest.
+
+    Plan: each constituent is its already-verified operator frame; the
+    scorecard adds three doc_id equi-joins, which AQE executes off one
+    common doc_id exchange. No new shuffle class; all verdicts are
+    integer-exact so the join introduces no float drift."""
+    q = pipeline_quality_filter(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_tokens").alias("n_tokens"),
+        F.col("verdict").alias("quality_verdict"),
+    )
+    from data_collection_ieee_spark.operators.text_analysis import (
+        text_lang_id,
+        text_repetition_signals,
+        text_token_rarity,
+    )
+
+    r = text_repetition_signals(spark, sf_dir).select(
+        "doc_id", F.col("verdict").alias("repetition_verdict")
+    )
+    t = text_token_rarity(spark, sf_dir).select(
+        "doc_id", F.col("verdict").alias("rarity_verdict")
+    )
+    lang = text_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    final = (
+        F.when(F.col("quality_verdict") != "keep", F.col("quality_verdict"))
+        .when(F.col("repetition_verdict") != "keep", F.col("repetition_verdict"))
+        .when(F.col("rarity_verdict") != "keep", F.col("rarity_verdict"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        q.join(r, "doc_id")
+        .join(t, "doc_id")
+        .join(lang, "doc_id")
+        .select(
+            "doc_id",
+            "pred_lang",
+            "n_tokens",
+            "quality_verdict",
+            "repetition_verdict",
+            "rarity_verdict",
+            final.alias("final_verdict"),
+        )
+    )

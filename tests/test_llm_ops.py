@@ -944,3 +944,28 @@ def test_semantic_keep_matches_union_find(spark, sf_dir):
         kept += r["action"] == "keep"
     assert kept == len(comp)
     assert pairs, "fixture has no semantic near-dups; threshold too high"
+
+
+def test_scorecard_consistent_with_constituents(spark, sf_dir):
+    """The labels table must agree row-by-row with the operators it
+    joins, and final_verdict must be the first non-keep by precedence
+    (quality > repetition > rarity)."""
+    qual = {r["doc_id"]: r["verdict"] for r in _rows("pipeline_quality_filter", spark, sf_dir)}
+    rep = {r["doc_id"]: r["verdict"] for r in _rows("text_repetition_signals", spark, sf_dir)}
+    rar = {r["doc_id"]: r["verdict"] for r in _rows("text_token_rarity", spark, sf_dir)}
+    lang = {r["doc_id"]: r["pred_lang"] for r in _rows("text_lang_id", spark, sf_dir)}
+    rows = _rows("pipeline_doc_scorecard", spark, sf_dir)
+    assert {r["doc_id"] for r in rows} == set(qual)
+    n_nonkeep = 0
+    for r in rows:
+        d = r["doc_id"]
+        assert r["quality_verdict"] == qual[d]
+        assert r["repetition_verdict"] == rep[d]
+        assert r["rarity_verdict"] == rar[d]
+        assert r["pred_lang"] == lang[d]
+        expected = next(
+            (v for v in (qual[d], rep[d], rar[d]) if v != "keep"), "keep"
+        )
+        assert r["final_verdict"] == expected, d
+        n_nonkeep += expected != "keep"
+    assert n_nonkeep > 0, "fixture corpus trips no filter; thresholds untested"

@@ -50,6 +50,7 @@ CROSS_OK = {
     "text_wordcount_tfidf",  # 1-row corpus-size scalar rides a broadcast nested loop
     "text_top_terms",  # composes text_wordcount_tfidf: same 1-row scalar broadcast
     "text_token_rarity",  # 1-row corpus-moments scalar rides a broadcast nested loop
+    "pipeline_doc_scorecard",  # composes text_token_rarity: same 1-row scalar broadcast
     "sim_ann_ivf",  # probe × 16-row centroid table: broadcast nested loop by design
     "sim_ann_hyperplane",  # 1-row probe rides a broadcast nested loop by design
     "stats_ks_source",  # |sources| × distinct-values ECDF grid: bounded cross join by design
