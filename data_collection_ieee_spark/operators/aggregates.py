@@ -759,3 +759,44 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "l_orderkey", "revenue", "o_orderdate", "o_orderpriority"
     )
+
+
+_Q4_START = "1996-01-01 00:00:00"
+_Q4_END = "1996-04-01 00:00:00"
+
+
+@query(
+    "tpch_q4_priority",
+    oracle=f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{_Q4_START}'
+  AND o.o_orderdate < TIMESTAMP '{_Q4_END}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style composite (order-priority checking): orders in
+    one quarter having at least one line shipped after the order date,
+    counted per priority — the canonical EXISTS shape. Expressed as a
+    LEFT SEMI join so the lineitem side never materializes matches
+    (first hit short-circuits, nothing duplicates, no distinct needed);
+    the quarter predicate pushes to the orders scan and the semi join
+    shuffles on orderkey with AQE sizing. The correlated ship-after-
+    order predicate rides the join condition — Catalyst evaluates it
+    inside the semi join, not in a post-filter."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q4_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q4_END).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
