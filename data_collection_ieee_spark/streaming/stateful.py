@@ -163,11 +163,20 @@ def _update_cusum_state(
     s_pos, s_neg, above_pos, above_neg, n_seen, n_alarms = (
         state.get if state.exists else (0, 0, False, False, 0, 0)
     )
-    for pdf in pdfs:
-        # arrival order across micro-batches, event-time order within
-        # one (event_id tiebreak): the only deterministic order a
-        # stream can give an order-sensitive detector
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # arrival order across micro-batches, event-time order within one
+    # (event_id tiebreak): the only deterministic order a stream can
+    # give an order-sensitive detector. The runner hands the key's
+    # micro-batch rows as an ITERATOR of Arrow chunks whose boundaries
+    # and relative order are execution artifacts (shuffle-read order),
+    # so sorting chunk-by-chunk is NOT a global sort — a 90¢ chunk
+    # processed before an earlier 50¢ chunk silently rewrites the
+    # excursion path (observed: same n_alarms, flipped `drifting`).
+    # Concatenate first, sort once. Memory bound = one key's rows in
+    # one micro-batch, the same bound applyInPandasWithState already
+    # imposes on state-op kernels.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         v = pdf["value"].to_numpy(dtype="float64") * 100.0
         cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
         s_pos, c_pos, above_pos = _cusum_side(

@@ -363,3 +363,66 @@ def test_cusum_batch_query_equals_streaming_operator(spark, sf_dir):
             b["n_alarms"],
             b["drifting"],
         ), r["event_type"]
+
+
+def test_cusum_invariant_under_arrow_chunking(spark, tmp_path):
+    """Regression: the runner delivers a key's micro-batch rows as an
+    iterator of Arrow chunks whose boundaries/order are execution
+    artifacts. A chunk-local sort is not a global sort — with the
+    shift pattern below, processing the high-value tail before the
+    in-control head leaves the same alarm count but a collapsed final
+    excursion (drifting flips to False). Force many tiny chunks via
+    arrow.maxRecordsPerBatch and require the kernel's end state to be
+    identical to the single-chunk run."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from data_collection_ieee_spark.streaming import stateful
+
+    t0 = dt.datetime(2024, 1, 1)
+    recs = []
+    for i in range(300):
+        recs.append(
+            {
+                "event_id": i,
+                "ts": t0 + dt.timedelta(seconds=i),
+                "user_id": i % 7,
+                "event_type": "shift_up",
+                "value": 50.0 if i < 100 else 90.0,
+                "props": "{}",
+            }
+        )
+    d = str(tmp_path / "sfchunk")
+    os.makedirs(d)
+    pd.DataFrame(recs).to_parquet(d + "/events.parquet", index=False)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    results = {}
+    try:
+        for label, batch_rows in (("one_chunk", "100000"), ("tiny_chunks", "17")):
+            spark.conf.set(key, batch_rows)
+            events = parity.read_events_stream(
+                spark, d, n_files=4, files_per_trigger=2
+            )
+            out = parity.run_to_memory(
+                stateful.cusum_drift(events), mode="update"
+            ).collect()
+            final = max(out, key=lambda r: r["n_seen"])
+            results[label] = (
+                final["n_seen"],
+                final["s_pos_cents"],
+                final["s_neg_cents"],
+                final["n_alarms"],
+                final["drifting"],
+            )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+    assert results["one_chunk"] == results["tiny_chunks"]
+    assert results["one_chunk"][0] == 300
+    assert results["one_chunk"][3] == 1 and results["one_chunk"][4] is True
