@@ -800,3 +800,179 @@ def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return hit.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+_Q5_REGION = "ASIA"
+_Q5_START = "1996-01-01 00:00:00"
+_Q5_END = "1997-01-01 00:00:00"
+
+
+@query(
+    "tpch_q5_local_supplier",
+    oracle=f"""
+WITH rev AS (
+  SELECT n.n_name,
+         {sql_dsum("CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))", 'DECIMAL(20,4)')} AS revenue
+  FROM customer c
+  JOIN orders o   ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                 AND c.c_nationkey = s.s_nationkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{_Q5_REGION}'
+    AND o.o_orderdate >= TIMESTAMP '{_Q5_START}'
+    AND o.o_orderdate <  TIMESTAMP '{_Q5_END}'
+  GROUP BY n.n_name
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, n_name ASC) AS INT) AS rank,
+       n_name, revenue
+FROM rev
+""",
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style composite (local supplier volume): revenue per
+    nation for one region and one order year, counting only lineitems
+    whose supplier sits in the customer's own nation — the benchmark's
+    6-table join with a non-key equality (c_nationkey = s_nationkey)
+    riding the supplier join. The star shape is declared and Catalyst
+    makes the physical calls: region+nation collapse to broadcast hash
+    joins (dimension tables are KBs at any SF), the date predicate
+    pushes to the orders parquet scan, the customer⋈orders⋈lineitem
+    chain shuffles on its keys with AQE picking build sides, and the
+    nation-key equality prunes supplier rows inside the join rather
+    than in a post-filter. Revenue is a map-side-combined decimal sum
+    (order-independent per the registry convention); the ≤25-row result
+    carries an explicit revenue-rank. At 100 TB nothing here changes:
+    the only large shuffles are the two fact-fact joins, both on their
+    natural keys."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q5_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q5_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _Q5_REGION)
+    asia_nations = F.broadcast(
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select("n_nationkey", "n_name")
+    )
+    rev = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(asia_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (
+                    dec("l_extendedprice")
+                    * (F.lit(1).cast(RATE) - dec("l_discount", RATE))
+                ).cast("decimal(20,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    return rev.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "n_name", "revenue"
+    )
+
+
+@query(
+    "stats_chi2_independence",
+    oracle="""
+WITH cells AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY source, lang
+),
+margins AS (
+  SELECT source, SUM(o) AS rt FROM cells GROUP BY source
+),
+colm AS (
+  SELECT lang, SUM(o) AS ct FROM cells GROUP BY lang
+),
+tot AS (SELECT SUM(o) AS n FROM cells),
+terms AS (
+  SELECT CAST(ROUND(
+           ((CAST(c.o AS DOUBLE) - (CAST(m.rt AS DOUBLE) * ct.ct) / t.n)
+            * (CAST(c.o AS DOUBLE) - (CAST(m.rt AS DOUBLE) * ct.ct) / t.n))
+           / ((CAST(m.rt AS DOUBLE) * ct.ct) / t.n), 9) AS DECIMAL(28,9)) AS term
+  FROM cells c
+  JOIN margins m ON c.source = m.source
+  JOIN colm ct ON c.lang = ct.lang
+  CROSS JOIN tot t
+)
+SELECT CAST(t.n AS BIGINT) AS n_docs,
+       CAST((SELECT COUNT(*) FROM margins) AS INT) AS n_sources,
+       CAST((SELECT COUNT(*) FROM colm) AS INT) AS n_langs,
+       CAST(((SELECT COUNT(*) FROM margins) - 1)
+            * ((SELECT COUNT(*) FROM colm) - 1) AS INT) AS dof,
+       ROUND(CAST((SELECT SUM(term) FROM terms) AS DOUBLE), 6) AS chi2
+FROM tot t
+""",
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between `source` and
+    `lang` over the corpus — the standard drift/bias monitor for a
+    multi-source crawl mix (is language distribution independent of
+    source, or did one feed's composition shift?). Completes the
+    monitoring-stats family: KS compares a continuous measure across
+    source pairs (stats_ks_source), this tests two categoricals
+    jointly.
+
+    Shape: ONE map-side-combined groupBy collapses the corpus to the
+    sources × langs contingency table (≤ tens of cells at any data
+    size); margins and the grand total re-aggregate that tiny frame —
+    the raw table is scanned exactly once, everything after is
+    broadcast-joined KB-sized metadata. Determinism: expected counts
+    and per-cell terms are double arithmetic with identical
+    parenthesization in both engines (each op a single correctly-
+    rounded IEEE step), the term is rounded to 9 dp and summed in
+    exact DECIMAL (order-independent), and the statistic is published
+    at 6 dp — the same decimal-accumulation device as
+    text_entropy_quality."""
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    margins = cells.groupBy("source").agg(F.sum("o").alias("rt"))
+    colm = cells.groupBy("lang").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"), F.count("*").alias("n_cells"))
+    e = (F.col("rt").cast("double") * F.col("ct")) / F.col("n")
+    term = F.round(
+        ((F.col("o").cast("double") - e) * (F.col("o").cast("double") - e)) / e, 9
+    ).cast("decimal(28,9)")
+    joined = (
+        cells.join(F.broadcast(margins), "source")
+        .join(F.broadcast(colm), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    ns = margins.agg(F.count("*").alias("n_sources"))
+    nl = colm.agg(F.count("*").alias("n_langs"))
+    return (
+        joined.groupBy("n")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("chi2"))
+        .crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(nl))
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("n_sources").cast("int").alias("n_sources"),
+            F.col("n_langs").cast("int").alias("n_langs"),
+            ((F.col("n_sources") - 1) * (F.col("n_langs") - 1))
+            .cast("int")
+            .alias("dof"),
+            "chi2",
+        )
+    )

@@ -188,3 +188,26 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem
+""",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source roundtrip — the third columnar interchange format
+    the engine speaks natively (after parquet and the CSV/JSON text
+    sinks of reference main.py:150-156 / mainn.py:108-112). ORC ships
+    in Spark's JVM with the same vectorized reader, predicate pushdown,
+    and column pruning as parquet, so a user whose downstream stack is
+    Hive/ORC gets identical query semantics with zero engine changes.
+    Written distributed (one file per task, snappy), read back with the
+    explicit schema — no inference pass; the oracle reads the original
+    parquet, so the roundtrip is verified value-exact."""
+    path = _scratch("orc_roundtrip")
+    df = load_table(spark, sf_dir, "lineitem").select(*_ROUNDTRIP_COLS)
+    df.write.mode("overwrite").orc(path)
+    return spark.read.schema(_ROUNDTRIP_SCHEMA).orc(path)

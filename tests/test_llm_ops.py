@@ -969,3 +969,85 @@ def test_scorecard_consistent_with_constituents(spark, sf_dir):
         assert r["final_verdict"] == expected, d
         n_nonkeep += expected != "keep"
     assert n_nonkeep > 0, "fixture corpus trips no filter; thresholds untested"
+
+
+def test_tpch_q5_matches_python_reference(spark, sf_dir, duck):
+    """Independent implementation: a pure-Python hash-join chain in
+    exact Decimal arithmetic over the base tables must reproduce the
+    per-nation revenue and the rank order."""
+    from decimal import Decimal
+
+    cust = dict(duck.execute("SELECT c_custkey, c_nationkey FROM customer").fetchall())
+    orders = {
+        k: c
+        for k, c, d in duck.execute(
+            "SELECT o_orderkey, o_custkey, o_orderdate FROM orders"
+        ).fetchall()
+        if "1996-01-01" <= str(d) < "1997-01-01"
+    }
+    supp = dict(duck.execute("SELECT s_suppkey, s_nationkey FROM supplier").fetchall())
+    nations = dict(
+        duck.execute(
+            "SELECT n_nationkey, n_name FROM nation JOIN region "
+            "ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'"
+        ).fetchall()
+    )
+    rev: dict = {}
+    for ok, sk, price, disc in duck.execute(
+        "SELECT l_orderkey, l_suppkey, l_extendedprice, l_discount FROM lineitem"
+    ).fetchall():
+        if ok not in orders:
+            continue
+        c_nat = cust[orders[ok]]
+        s_nat = supp[sk]
+        if c_nat != s_nat or s_nat not in nations:
+            continue
+        p = Decimal(str(price)).quantize(Decimal("0.01"))
+        d = Decimal(str(disc)).quantize(Decimal("0.01"))
+        rev[nations[s_nat]] = rev.get(nations[s_nat], Decimal(0)) + p * (1 - d)
+    got = _rows("tpch_q5_local_supplier", spark, sf_dir)
+    assert {r["n_name"] for r in got} == set(rev)
+    for r in got:
+        assert abs(r["revenue"] - float(rev[r["n_name"]])) <= 1e-6, r["n_name"]
+    ordered = sorted(got, key=lambda r: (-r["revenue"], r["n_name"]))
+    assert [r["rank"] for r in ordered] == list(range(1, len(got) + 1))
+
+
+def test_chi2_matches_python_reference(spark, sf_dir, duck):
+    """Independent implementation: Counter contingency table + float
+    chi-square loop must agree with the decimal-accumulated statistic."""
+    from collections import Counter
+
+    cells = Counter()
+    for source, lang in duck.execute("SELECT source, lang FROM documents").fetchall():
+        cells[(source, lang)] += 1
+    n = sum(cells.values())
+    rows = Counter()
+    cols = Counter()
+    for (s, l), c in cells.items():
+        rows[s] += c
+        cols[l] += c
+    chi2 = 0.0
+    for (s, l), o in cells.items():
+        e = rows[s] * cols[l] / n
+        chi2 += (o - e) ** 2 / e
+    [r] = _rows("stats_chi2_independence", spark, sf_dir)
+    assert r["n_docs"] == n
+    assert (r["n_sources"], r["n_langs"]) == (len(rows), len(cols))
+    assert r["dof"] == (len(rows) - 1) * (len(cols) - 1)
+    assert abs(r["chi2"] - chi2) <= 1e-5
+    assert r["chi2"] >= 0.0
+
+
+def test_orc_roundtrip_is_value_exact(spark, sf_dir):
+    """The ORC sink/source pair must return the exact source multiset —
+    same contract the CSV/JSON roundtrips are held to."""
+    src = sorted(
+        tuple(r)
+        for r in registry.QUERIES["scan_parquet"](spark, sf_dir).collect()
+    )
+    back = sorted(
+        tuple(r)
+        for r in registry.QUERIES["scan_orc_roundtrip"](spark, sf_dir).collect()
+    )
+    assert src == back

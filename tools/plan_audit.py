@@ -54,6 +54,7 @@ CROSS_OK = {
     "sim_ann_ivf",  # probe × 16-row centroid table: broadcast nested loop by design
     "sim_ann_hyperplane",  # 1-row probe rides a broadcast nested loop by design
     "stats_ks_source",  # |sources| × distinct-values ECDF grid: bounded cross join by design
+    "stats_chi2_independence",  # 1-row grand-total + source/lang margin scalars ride broadcast nested loops over the ≤tens-of-cells contingency table
 }
 # roundtrip sinks re-read their own CSV/JSON output with a bare scan —
 # nothing above the scan to fuse, so the absence of a codegen span is
