@@ -976,3 +976,289 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2",
         )
     )
+
+
+_Q7_START = "1996-01-01 00:00:00"
+_Q7_END = "1998-01-01 00:00:00"
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+       {sql_dsum("CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))", 'DECIMAL(20,4)')} AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '{_Q7_START}'
+  AND l.l_shipdate <  TIMESTAMP '{_Q7_END}'
+  AND s.s_nationkey <> c.c_nationkey
+GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)
+""",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style composite (volume shipping), generalized from the
+    benchmark's fixed nation pair to the full cross-border trade-flow
+    matrix: revenue per (supplier nation, customer nation, ship year)
+    for two ship years, domestic flows excluded. The result is bounded
+    by nations^2 x years (<= 25*24*2 rows) at ANY data size, so the
+    whole reduction is one map-side-combined decimal aggregate. Plan
+    shape: the ship-date predicate pushes to the lineitem scan (the
+    biggest fact pruned first), the suppkey/orderkey/custkey chain
+    shuffles on its natural keys with AQE picking build sides, the
+    25-row nation table broadcasts onto BOTH key columns, and the
+    cross-border inequality is evaluated on the integer nation keys
+    inside the join chain - before the name lookups, so mismatched
+    rows never reach them."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(_Q7_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q7_END).cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    flows = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .join(
+            F.broadcast(nation.alias("n1")),
+            F.col("s_nationkey") == F.col("n1.n_nationkey"),
+        )
+        .join(
+            F.broadcast(nation.alias("n2")),
+            F.col("c_nationkey") == F.col("n2.n_nationkey"),
+        )
+    )
+    return flows.groupBy(
+        F.col("n1.n_name").alias("supp_nation"),
+        F.col("n2.n_name").alias("cust_nation"),
+        "l_year",
+    ).agg(
+        F.sum(
+            (
+                dec("l_extendedprice")
+                * (F.lit(1).cast(RATE) - dec("l_discount", RATE))
+            ).cast("decimal(20,4)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+_Q10_START = "1996-01-01 00:00:00"
+_Q10_END = "1996-04-01 00:00:00"
+_Q10_TOPN = 20
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+         {sql_dsum("CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))", 'DECIMAL(20,4)')} AS revenue
+  FROM customer c
+  JOIN orders o   ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '{_Q10_START}'
+    AND o.o_orderdate <  TIMESTAMP '{_Q10_END}'
+    AND l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey ASC) AS rank
+  FROM rev
+)
+SELECT CAST(rank AS INT) AS rank, c_custkey, c_name, revenue, c_acctbal, n_name
+FROM ranked WHERE rank <= {_Q10_TOPN}
+""",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style composite (returned-item reporting): the top
+    customers by revenue lost to returns in one quarter - the classic
+    "who is sending things back" triage list. Quarter and return-flag
+    predicates push to the orders and lineitem scans respectively (the
+    lineitem scan keeps ~1/3 of rows before any join), the
+    customer-orders-lineitem chain shuffles on its keys, the 25-row
+    nation lookup broadcasts, and the final top-20 compiles to
+    TakeOrderedAndProject over the per-customer aggregate - no global
+    sort at any scale. Rank is explicit with a (revenue desc, custkey)
+    total order per the registry convention."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q10_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q10_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                (
+                    dec("l_extendedprice")
+                    * (F.lit(1).cast(RATE) - dec("l_discount", RATE))
+                ).cast("decimal(20,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    top = rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(
+        _Q10_TOPN
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "c_custkey", "c_name", "revenue", "c_acctbal", "n_name"
+    )
+
+
+_Q14_START = "1997-09-01 00:00:00"
+_Q14_END = "1997-10-01 00:00:00"
+
+
+@query(
+    "tpch_q14_promo_share",
+    oracle=f"""
+WITH j AS (
+  SELECT p.p_type,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS rev
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '{_Q14_START}'
+    AND l.l_shipdate <  TIMESTAMP '{_Q14_END}'
+)
+SELECT
+  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(rev AS DECIMAL(20,4)) ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE) AS promo_revenue,
+  CAST(SUM(CAST(rev AS DECIMAL(20,4))) AS DOUBLE) AS total_revenue,
+  round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(rev AS DECIMAL(20,4)) ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE)
+        / CAST(SUM(CAST(rev AS DECIMAL(20,4))) AS DOUBLE), 6) AS promo_pct
+FROM j
+""",
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style composite (promotion effect): the share of one
+    month's revenue attributable to promotional parts - a conditional
+    aggregate over a fact-dimension join. The ship-month predicate
+    pushes to the lineitem scan so only ~1/n of the fact table reaches
+    the join; the part join shuffles on partkey (part grows with SF,
+    so it is NOT hard-broadcast - AQE broadcasts it at small scale and
+    shuffles beyond, which is the honest 100 TB shape). Both sums are
+    map-side-combined exact decimals; the single output row carries the
+    components and the 6-dp percentage so the oracle hash pins all
+    three."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q14_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q14_END).cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        dec("l_extendedprice") * (F.lit(1).cast(RATE) - dec("l_discount", RATE))
+    ).cast("decimal(20,4)")
+    zero = F.lit(0).cast("decimal(20,4)")
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey")).select(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(zero).alias("promo_rev"),
+        rev.alias("rev"),
+    )
+    agg = j.agg(
+        F.sum("promo_rev").cast("double").alias("promo_revenue"),
+        F.sum("rev").cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            100.0 * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_pct"),
+    )
+
+
+_Q18_MIN_QTY = 300
+_Q18_TOPN = 100
+
+
+@query(
+    "tpch_q18_big_orders",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > {_Q18_MIN_QTY}
+),
+j AS (
+  SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         b.total_qty
+  FROM big b
+  JOIN orders o   ON b.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM j
+)
+SELECT CAST(rank AS INT) AS rank, c_name, c_custkey, o_orderkey, o_orderdate,
+       o_totalprice, total_qty
+FROM ranked WHERE rank <= {_Q18_TOPN}
+""",
+)
+def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style composite (large-volume customer): orders whose
+    total line quantity exceeds a threshold, with their customers,
+    ranked by order value - the aggregate-then-join shape where the
+    HAVING filter must run BEFORE the joins so only the rare heavy
+    orders (a fixed quantile of the order population at any SF) reach
+    them. The quantity rollup is one map-side-combined decimal sum on
+    the natural lineitem key; the surviving sliver joins orders and
+    customer on their keys (AQE broadcasts the sliver side), and the
+    top-100 compiles to TakeOrderedAndProject. Quantities are
+    integer-valued; the decimal sum keeps the threshold comparison
+    exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > _Q18_MIN_QTY)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = big.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    )
+    top = j.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(
+        _Q18_TOPN
+    )
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        "o_totalprice", "total_qty",
+    )

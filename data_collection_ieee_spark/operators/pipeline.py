@@ -664,3 +664,69 @@ def pipeline_doc_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             final.alias("final_verdict"),
         )
     )
+
+
+# train/val/test boundaries on the 0-99 md5 bucket: [0,80) / [80,90) / [90,100)
+_SPLIT_TRAIN_END = 80
+_SPLIT_VAL_END = 90
+
+
+@query(
+    "sample_hash_split",
+    oracle=f"""
+WITH tagged AS (
+  SELECT CASE WHEN ({_SQL_DOC_BUCKET}) < {_SPLIT_TRAIN_END} THEN 'train'
+              WHEN ({_SQL_DOC_BUCKET}) < {_SPLIT_VAL_END} THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars, lang
+  FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tagged)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT lang) AS INT) AS n_langs,
+       round(COUNT(*) / t.n, 6) AS share
+FROM tagged CROSS JOIN tot t
+GROUP BY split, t.n
+""",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test holdout split - the assignment step
+    every training corpus needs before anything touches an eval set.
+    Membership is a pure function of doc_id (md5-bucket 0-99 against
+    80/10/10 boundaries), so the split is reproducible across runs,
+    engines, and cluster sizes, stable under corpus growth (an old
+    document never changes split when new ones arrive), and requires
+    NO coordination - no global sort, no rand() seed plumbing, no
+    driver state. Plan: one narrow projection computes the bucket
+    JVM-side, one map-side-combined groupBy(split) reduces the corpus
+    to three rows, and the share denominator rides a broadcast of the
+    1-row total. The same bucket device backs sample_stratified and
+    pipeline_decontaminate, so holdout and decontamination slices are
+    mutually consistent by construction."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.when(F.expr(_SPARK_DOC_BUCKET) < _SPLIT_TRAIN_END, "train")
+        .when(F.expr(_SPARK_DOC_BUCKET) < _SPLIT_VAL_END, "val")
+        .otherwise("test")
+        .alias("split"),
+        "n_chars",
+        "lang",
+    )
+    tot = docs.agg(F.count("*").cast("double").alias("n"))
+    return (
+        docs.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).cast("long").alias("sum_chars"),
+            F.countDistinct("lang").cast("int").alias("n_langs"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "split",
+            "n_docs",
+            "sum_chars",
+            "n_langs",
+            F.round(F.col("n_docs") / F.col("n"), 6).alias("share"),
+        )
+    )

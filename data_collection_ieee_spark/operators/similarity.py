@@ -488,3 +488,78 @@ def _knn_join_impl(
         .filter(F.col("rank") <= _KNN_K)
         .select("q_id", "vec_id", "cos_sim", "rank")
     )
+
+
+@query(
+    "embed_centroid_drift",
+    oracle="""
+WITH comp AS (
+  SELECT label,
+         CAST(unnest(range(len(embedding))) AS INT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS comp
+  FROM embeddings
+),
+per_label_dim AS (
+  SELECT label, dim, SUM(comp) AS s, COUNT(*) AS c
+  FROM comp GROUP BY label, dim
+),
+gdim AS (
+  SELECT dim, SUM(s) / SUM(c) AS g FROM per_label_dim GROUP BY dim
+),
+g2 AS (SELECT SUM(g * g) AS g2 FROM gdim),
+per_label AS (
+  SELECT p.label,
+         MAX(CASE WHEN p.dim = 0 THEN p.c END) AS n_vecs,
+         SUM((p.s / p.c) * gl.g) AS dot,
+         SUM((p.s / p.c) * (p.s / p.c)) AS m2
+  FROM per_label_dim p JOIN gdim gl ON p.dim = gl.dim
+  GROUP BY p.label
+)
+SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+       round(dot / (sqrt(m2) * sqrt(g.g2)), 6) AS cos_to_global
+FROM per_label CROSS JOIN g2 g
+""",
+)
+def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vs the global corpus centroid, as a cosine -
+    the embedding-space drift monitor a curation pipeline runs per
+    source/label batch (a label whose centroid swings away from the
+    corpus mean signals a composition change, an encoder regression, or
+    a poisoned slice). Everything reduces through ONE posexplode +
+    map-side-combined groupBy(label, dim): the corpus collapses to
+    labels x d rows, and centroids, the global mean (re-aggregated from
+    the per-label sums - the raw table is scanned once), dot products,
+    and norms all derive from that tiny frame JVM-side. No pairs, no
+    driver collect, no Python; at 100 TB the only shuffle is the
+    (label, dim) aggregate, whose cardinality is independent of corpus
+    size. Float device as sim_pairwise_labels: exact counts, double
+    sums whose reassociation error is dwarfed by the 6-dp rounding of
+    the published cosine; the identical aggregation tree (label,dim ->
+    label and label,dim -> dim) is spelled out in the oracle so both
+    engines sum in the same two stages."""
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "comp")
+    )
+    pld = exploded.groupBy("label", "dim").agg(
+        F.sum("comp").alias("s"), F.count("*").alias("c")
+    )
+    glob = pld.groupBy("dim").agg((F.sum("s") / F.sum("c")).alias("g"))
+    g2 = glob.agg(F.sum(F.col("g") * F.col("g")).alias("g2"))
+    m = F.col("s") / F.col("c")
+    per_label = (
+        pld.join(F.broadcast(glob), "dim")
+        .groupBy("label")
+        .agg(
+            F.max(F.when(F.col("dim") == 0, F.col("c"))).alias("n_vecs"),
+            F.sum(m * F.col("g")).alias("dot"),
+            F.sum(m * m).alias("m2"),
+        )
+    )
+    return per_label.crossJoin(F.broadcast(g2)).select(
+        "label",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.round(
+            F.col("dot") / (F.sqrt("m2") * F.sqrt("g2")), 6
+        ).alias("cos_to_global"),
+    )

@@ -1051,3 +1051,167 @@ def test_orc_roundtrip_is_value_exact(spark, sf_dir):
         for r in registry.QUERIES["scan_orc_roundtrip"](spark, sf_dir).collect()
     )
     assert src == back
+
+
+def test_tpch_q7_matches_python_reference(spark, sf_dir, duck):
+    """Independent implementation: Decimal hash-join loop over the base
+    tables must reproduce every (supp_nation, cust_nation, year) cell."""
+    from decimal import Decimal
+
+    supp = dict(duck.execute("SELECT s_suppkey, s_nationkey FROM supplier").fetchall())
+    ordc = dict(duck.execute("SELECT o_orderkey, o_custkey FROM orders").fetchall())
+    cust = dict(duck.execute("SELECT c_custkey, c_nationkey FROM customer").fetchall())
+    nat = dict(duck.execute("SELECT n_nationkey, n_name FROM nation").fetchall())
+    ref: dict = {}
+    for ok, sk, price, disc, sd in duck.execute(
+        "SELECT l_orderkey, l_suppkey, l_extendedprice, l_discount, l_shipdate "
+        "FROM lineitem"
+    ).fetchall():
+        if not ("1996-01-01" <= str(sd) < "1998-01-01"):
+            continue
+        sn, cn = supp[sk], cust[ordc[ok]]
+        if sn == cn:
+            continue
+        key = (nat[sn], nat[cn], sd.year)
+        p = Decimal(str(price)).quantize(Decimal("0.01"))
+        d = Decimal(str(disc)).quantize(Decimal("0.01"))
+        ref[key] = ref.get(key, Decimal(0)) + p * (1 - d)
+    got = {
+        (r["supp_nation"], r["cust_nation"], r["l_year"]): r["revenue"]
+        for r in _rows("tpch_q7_volume_shipping", spark, sf_dir)
+    }
+    assert set(got) == set(ref)
+    for k, v in ref.items():
+        assert abs(got[k] - float(v)) <= 1e-6, k
+
+
+def test_tpch_q10_matches_python_reference(spark, sf_dir, duck):
+    """Independent implementation: per-customer returned-item revenue in
+    the quarter, verified for the reported top-20 plus rank order."""
+    from decimal import Decimal
+
+    cust = {
+        k: (n, b, nk)
+        for k, n, b, nk in duck.execute(
+            "SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer"
+        ).fetchall()
+    }
+    nat = dict(duck.execute("SELECT n_nationkey, n_name FROM nation").fetchall())
+    orders = {
+        k: c
+        for k, c, d in duck.execute(
+            "SELECT o_orderkey, o_custkey, o_orderdate FROM orders"
+        ).fetchall()
+        if "1996-01-01" <= str(d) < "1996-04-01"
+    }
+    rev: dict = {}
+    for ok, price, disc, rf in duck.execute(
+        "SELECT l_orderkey, l_extendedprice, l_discount, l_returnflag FROM lineitem"
+    ).fetchall():
+        if rf != "R" or ok not in orders:
+            continue
+        ck = orders[ok]
+        p = Decimal(str(price)).quantize(Decimal("0.01"))
+        d = Decimal(str(disc)).quantize(Decimal("0.01"))
+        rev[ck] = rev.get(ck, Decimal(0)) + p * (1 - d)
+    top = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = _rows("tpch_q10_returned_items", spark, sf_dir)
+    assert [r["c_custkey"] for r in sorted(got, key=lambda r: r["rank"])] == [
+        ck for ck, _ in top
+    ]
+    for r in got:
+        assert abs(r["revenue"] - float(rev[r["c_custkey"]])) <= 1e-6
+        name, bal, nk = cust[r["c_custkey"]]
+        assert (r["c_name"], r["n_name"]) == (name, nat[nk])
+
+
+def test_tpch_q14_matches_python_reference(spark, sf_dir, duck):
+    """Independent implementation: Decimal conditional sums over the
+    lineitem-part join for the promo month."""
+    from decimal import Decimal
+
+    ptype = dict(duck.execute("SELECT p_partkey, p_type FROM part").fetchall())
+    promo = total = Decimal(0)
+    for pk, price, disc, sd in duck.execute(
+        "SELECT l_partkey, l_extendedprice, l_discount, l_shipdate FROM lineitem"
+    ).fetchall():
+        if not ("1997-09-01" <= str(sd) < "1997-10-01"):
+            continue
+        p = Decimal(str(price)).quantize(Decimal("0.01"))
+        d = Decimal(str(disc)).quantize(Decimal("0.01"))
+        r = p * (1 - d)
+        total += r
+        if ptype[pk] == "PROMO":
+            promo += r
+    [r] = _rows("tpch_q14_promo_share", spark, sf_dir)
+    assert abs(r["promo_revenue"] - float(promo)) <= 1e-6
+    assert abs(r["total_revenue"] - float(total)) <= 1e-6
+    assert abs(r["promo_pct"] - 100.0 * float(promo) / float(total)) <= 1e-5
+    assert 0.0 < r["promo_pct"] < 100.0, "degenerate month: promo share untested"
+
+
+def test_tpch_q18_matches_python_reference(spark, sf_dir, duck):
+    """Independent implementation: per-order quantity totals + threshold
+    + value ordering, against a pure-Python scan."""
+    qty: dict = {}
+    for ok, q in duck.execute(
+        "SELECT l_orderkey, l_quantity FROM lineitem"
+    ).fetchall():
+        qty[ok] = qty.get(ok, 0.0) + q
+    big = {ok: q for ok, q in qty.items() if q > 300}
+    assert big, "threshold prunes everything; raise SF or lower it"
+    orders = {
+        k: (c, d, t)
+        for k, c, d, t in duck.execute(
+            "SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders"
+        ).fetchall()
+    }
+    expected = sorted(big, key=lambda ok: (-orders[ok][2], ok))[:100]
+    got = sorted(_rows("tpch_q18_big_orders", spark, sf_dir), key=lambda r: r["rank"])
+    assert [r["o_orderkey"] for r in got] == expected
+    for r in got:
+        assert abs(r["total_qty"] - big[r["o_orderkey"]]) <= 1e-9
+        assert r["o_totalprice"] == orders[r["o_orderkey"]][2]
+
+
+def test_hash_split_matches_python_reference(spark, sf_dir, duck):
+    """Independent implementation: hashlib md5 bucket per doc must
+    reproduce the split counts, and shares must sum to 1."""
+    import hashlib
+
+    counts = {"train": 0, "val": 0, "test": 0}
+    chars = {"train": 0, "val": 0, "test": 0}
+    for doc_id, n_chars in duck.execute(
+        "SELECT doc_id, n_chars FROM documents"
+    ).fetchall():
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+        split = "train" if b < 80 else ("val" if b < 90 else "test")
+        counts[split] += 1
+        chars[split] += n_chars
+    n = sum(counts.values())
+    got = {r["split"]: r for r in _rows("sample_hash_split", spark, sf_dir)}
+    assert set(got) == {k for k, v in counts.items() if v > 0}
+    for s, r in got.items():
+        assert r["n_docs"] == counts[s], s
+        assert r["sum_chars"] == chars[s], s
+        assert abs(r["share"] - counts[s] / n) <= 1e-6
+    assert abs(sum(r["share"] for r in got.values()) - 1.0) <= 3e-6
+
+
+def test_centroid_drift_matches_numpy_reference(spark, sf_dir, duck):
+    """Independent implementation: numpy per-label mean vs global mean
+    cosine must agree with the two-stage aggregate to 1e-5."""
+    import numpy as np
+
+    rows = duck.execute("SELECT label, embedding FROM embeddings").fetchall()
+    by_label: dict = {}
+    for label, emb in rows:
+        by_label.setdefault(label, []).append(np.asarray(emb, dtype=np.float64))
+    g = np.mean([v for vs in by_label.values() for v in vs], axis=0)
+    got = {r["label"]: r for r in _rows("embed_centroid_drift", spark, sf_dir)}
+    assert set(got) == set(by_label)
+    for label, vs in by_label.items():
+        m = np.mean(vs, axis=0)
+        cos = float(m @ g / (np.linalg.norm(m) * np.linalg.norm(g)))
+        assert got[label]["n_vecs"] == len(vs)
+        assert abs(got[label]["cos_to_global"] - cos) <= 1e-5, label
