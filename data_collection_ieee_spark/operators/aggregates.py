@@ -1262,3 +1262,217 @@ def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank", "c_name", "c_custkey", "o_orderkey", "o_orderdate",
         "o_totalprice", "total_qty",
     )
+
+
+_Q6_START = "1997-01-01 00:00:00"
+_Q6_END = "1998-01-01 00:00:00"
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_dsum("CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))", 'DECIMAL(20,4)')} AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_Q6_START}'
+  AND l_shipdate <  TIMESTAMP '{_Q6_END}'
+  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN CAST(0.05 AS DECIMAL(4,2)) AND CAST(0.07 AS DECIMAL(4,2))
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style composite (forecast revenue change): the revenue
+    that would have been kept by dropping a discount band on small
+    orders for one year - the benchmark's pure scan-and-sum whose whole
+    point is PREDICATE PUSHDOWN: all three range predicates (ship year,
+    discount band, quantity cap) and the 3-column projection reach the
+    parquet reader, so row groups outside the year never decompress and
+    no join or shuffle exists at all (one map-side partial sum, one
+    1-row exchange). The discount comparison is done in DECIMAL on both
+    engines because 0.05/0.07 are not representable in binary floating
+    point and a double BETWEEN would be implementation-defined at the
+    band edges - exactly the class of cross-engine flake the registry's
+    decimal convention exists to kill."""
+    li = load_table(spark, sf_dir, "lineitem")
+    picked = li.filter(
+        (F.col("l_shipdate") >= F.lit(_Q6_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q6_END).cast("timestamp"))
+        & dec("l_discount", RATE).between(
+            F.lit(0.05).cast(RATE), F.lit(0.07).cast(RATE)
+        )
+        & (F.col("l_quantity") < 24)
+    )
+    return picked.agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum((dec("l_extendedprice") * dec("l_discount", RATE)).cast("decimal(20,4)"))
+        .cast("double")
+        .alias("revenue_delta"),
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style composite (customer order distribution): how
+    many customers placed 0, 1, 2, ... qualifying orders - the classic
+    LEFT-OUTER-join-then-double-aggregate where the join predicate's
+    extra filter (exclude urgent orders) must ride the JOIN CONDITION,
+    not a WHERE clause, so that customers whose only orders are urgent
+    still appear with count 0 (COUNT(o_orderkey) skips the null-
+    extended rows; a WHERE would delete those customers entirely).
+    Plan: one shuffle outer join on custkey, a map-side-combined count
+    per customer, then a second tiny aggregate over the distinct count
+    values (bounded by the max orders per customer at any SF). The
+    orders side is pre-projected to two columns before the join."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+# Disjunctive (brand, size band, quantity band) triples — each OR arm
+# narrows differently, the union of arms is what must reach the scan.
+_Q19_ARMS = (
+    ("Brand#12", 1, 15, 1, 15),
+    ("Brand#23", 1, 20, 10, 25),
+    ("Brand#14", 1, 25, 20, 35),
+)
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_dsum("CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))", 'DECIMAL(20,4)')} AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE ((p.p_brand = '{_Q19_ARMS[0][0]}' AND p.p_size BETWEEN {_Q19_ARMS[0][1]} AND {_Q19_ARMS[0][2]}
+        AND l.l_quantity >= {_Q19_ARMS[0][3]} AND l.l_quantity <= {_Q19_ARMS[0][4]})
+    OR (p.p_brand = '{_Q19_ARMS[1][0]}' AND p.p_size BETWEEN {_Q19_ARMS[1][1]} AND {_Q19_ARMS[1][2]}
+        AND l.l_quantity >= {_Q19_ARMS[1][3]} AND l.l_quantity <= {_Q19_ARMS[1][4]})
+    OR (p.p_brand = '{_Q19_ARMS[2][0]}' AND p.p_size BETWEEN {_Q19_ARMS[2][1]} AND {_Q19_ARMS[2][2]}
+        AND l.l_quantity >= {_Q19_ARMS[2][3]} AND l.l_quantity <= {_Q19_ARMS[2][4]}))
+""",
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style composite (discounted revenue, disjunctive
+    predicates): revenue from three OR-ed (brand, size band, quantity
+    band) arms - the benchmark's test that an optimizer can split a
+    disjunction across join sides. Catalyst factors the part-only terms
+    (brand IN (...), size <= max) and the lineitem-only terms (quantity
+    within the union band) out of the OR and pushes each to its own
+    scan, so both tables are pruned BEFORE the join and the exact
+    disjunction is re-checked on the survivors; the join itself is a
+    plain partkey equi-join sized by AQE. One decimal aggregate, one
+    row out, with the qualifying line count pinned alongside the sum."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = None
+    for brand, smin, smax, qmin, qmax in _Q19_ARMS:
+        this = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(smin, smax)
+            & (F.col("l_quantity") >= qmin)
+            & (F.col("l_quantity") <= qmax)
+        )
+        arm = this if arm is None else (arm | this)
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey")).filter(arm)
+    return j.agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(
+            (
+                dec("l_extendedprice")
+                * (F.lit(1).cast(RATE) - dec("l_discount", RATE))
+            ).cast("decimal(20,4)")
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+_Q22_CUTOFF = "2000-01-01 00:00:00"
+
+
+@query(
+    "tpch_q22_idle_capital",
+    oracle=f"""
+WITH avgbal AS (
+  SELECT {sql_davg("CAST(c_acctbal AS DECIMAL(12,2))", 'DECIMAL(20,4)')} AS a
+  FROM customer WHERE c_acctbal > 0
+),
+idle AS (
+  SELECT c.c_custkey, c.c_nationkey, CAST(c.c_acctbal AS DECIMAL(12,2)) AS bal
+  FROM customer c CROSS JOIN avgbal
+  WHERE CAST(c.c_acctbal AS DOUBLE) > avgbal.a
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}')
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(bal) AS DOUBLE) AS total_acctbal
+FROM idle JOIN nation n ON idle.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def tpch_q22_idle_capital(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style composite (global sales opportunity): customers
+    holding above-average positive balances who placed NO recent orders,
+    totaled per nation - the anti-join + scalar-subquery shape. The
+    positive-balance mean is a 1-row decimal aggregate broadcast as the
+    threshold (never a driver-side collect - it rides the plan as a
+    broadcast nested loop over one row); recent orders are pre-filtered
+    by the pushed date predicate and the customer side drops matches
+    via LEFT ANTI join on custkey (first match short-circuits, nothing
+    materializes); the 25-row nation lookup broadcasts. The mean
+    comparison is decimal-sum/count cast to double with identical
+    parenthesization on both engines, so threshold membership can never
+    flip between them."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avgbal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count("c_acctbal")).alias("a")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    idle = (
+        cust.crossJoin(F.broadcast(avgbal))
+        .filter(F.col("c_acctbal").cast("double") > F.col("a"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        idle.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_custs"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )

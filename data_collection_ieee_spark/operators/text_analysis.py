@@ -705,3 +705,95 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_TERMS_K)
         .select("doc_id", "rank", "token", "tfidf")
     )
+
+
+_NOV_NGRAM = 8
+
+
+@query(
+    "text_novelty_ratio",
+    oracle=f"""
+WITH lists AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text,' ')) - {_NOV_NGRAM - 2}),
+             i -> array_to_string(list_slice(string_split(text,' '), i, i+{_NOV_NGRAM - 1}), ' ')))
+           AS ngs
+  FROM documents
+  WHERE len(string_split(text,' ')) >= {_NOV_NGRAM}
+),
+ng AS (
+  SELECT doc_id, len(ngs) AS n_grams, unnest(ngs) AS ngram FROM lists
+),
+owned AS (
+  SELECT doc_id, n_grams,
+         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY ngram) THEN 1 ELSE 0 END AS novel
+  FROM ng
+)
+SELECT doc_id,
+       CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+       CAST(SUM(novel) AS BIGINT) AS n_novel,
+       round(CAST(SUM(novel) AS DOUBLE) / MAX(n_grams), 6) AS novelty
+FROM owned GROUP BY doc_id
+""",
+)
+def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct word
+    8-grams that it is the FIRST document (by doc_id) to contribute to
+    the corpus — the incremental-information measure a curation
+    pipeline uses to rank near-the-threshold survivors of dedup
+    (novelty → 0: the doc is assembled from passages the corpus already
+    has, even if no single pair-level duplicate fired; novelty → 1:
+    genuinely new text). Complements the pairwise dedup ladder with a
+    corpus-global signal.
+
+    Scale shape: 8-grams are built, hashed, and deduped IN-ROW with
+    the xxhash64 token-hash device shared with pipeline_decontaminate
+    (no n-gram strings ever materialize — the explode-over-transform
+    codegen trap), so the exploded frame carries 8-byte keys only.
+    First-claimant detection is a single window min over
+    partitionBy(gram) — hash-partitioned by gram, never global — and
+    the per-doc rollup is one map-side-combined groupBy. Two shuffles
+    total, both on keys whose cardinality grows linearly with the
+    corpus; no broadcast of anything unbounded. The oracle spells the
+    same two-stage reduction over string n-grams: identical semantics
+    up to a ~2^-64 hash collision."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    args8 = ", ".join(f"element_at(th, i + {j})" for j in range(_NOV_NGRAM))
+    hs = F.expr(
+        f"""
+        element_at(transform(array(transform(split(text, ' '), t -> xxhash64(t))),
+          th -> array_distinct(transform(
+            sequence(1, size(th) - {_NOV_NGRAM - 1}),
+            i -> xxhash64({args8})))
+        ), 1)
+        """
+    )
+    grams = (
+        docs.filter(F.size(toks) >= _NOV_NGRAM)
+        .select("doc_id", hs.alias("hs"))
+        .select(
+            "doc_id",
+            F.size("hs").cast("long").alias("n_grams"),
+            F.explode("hs").alias("h"),
+        )
+    )
+    novel = F.when(
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("h")), 1
+    ).otherwise(0)
+    return (
+        grams.withColumn("novel", novel)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").cast("long").alias("n_grams"),
+            F.sum("novel").cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 6).alias(
+                "novelty"
+            ),
+        )
+    )

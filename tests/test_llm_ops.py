@@ -1215,3 +1215,142 @@ def test_centroid_drift_matches_numpy_reference(spark, sf_dir, duck):
         cos = float(m @ g / (np.linalg.norm(m) * np.linalg.norm(g)))
         assert got[label]["n_vecs"] == len(vs)
         assert abs(got[label]["cos_to_global"] - cos) <= 1e-5, label
+
+
+def test_tpch_q6_matches_python_reference(spark, sf_dir, duck):
+    """Independent implementation: Decimal filter-and-sum loop; also
+    pins that the band edges are decided in decimal, not double."""
+    from decimal import Decimal
+
+    n = 0
+    tot = Decimal(0)
+    lo, hi = Decimal("0.05"), Decimal("0.07")
+    for price, disc, qty, sd in duck.execute(
+        "SELECT l_extendedprice, l_discount, l_quantity, l_shipdate FROM lineitem"
+    ).fetchall():
+        if not ("1997-01-01" <= str(sd) < "1998-01-01"):
+            continue
+        d = Decimal(str(disc)).quantize(Decimal("0.01"))
+        if not (lo <= d <= hi and qty < 24):
+            continue
+        n += 1
+        tot += Decimal(str(price)).quantize(Decimal("0.01")) * d
+    [r] = _rows("tpch_q6_forecast_revenue", spark, sf_dir)
+    assert r["n_lines"] == n and n > 0
+    assert abs(r["revenue_delta"] - float(tot)) <= 1e-6
+
+
+def test_tpch_q13_matches_python_reference(spark, sf_dir, duck):
+    """Independent implementation: Counter over the outer join,
+    including the zero-order customers a WHERE clause would lose."""
+    from collections import Counter
+
+    per_cust = Counter()
+    custs = [
+        k for (k,) in duck.execute("SELECT c_custkey FROM customer").fetchall()
+    ]
+    for ck, pri in duck.execute(
+        "SELECT o_custkey, o_orderpriority FROM orders"
+    ).fetchall():
+        if pri != "1-URGENT":
+            per_cust[ck] += 1
+    dist = Counter(per_cust.get(ck, 0) for ck in custs)
+    got = {r["c_count"]: r["custdist"] for r in _rows("tpch_q13_customer_distribution", spark, sf_dir)}
+    assert got == dict(dist)
+    # the urgent-only/orderless bucket must exist for the outer join to
+    # have been exercised; if this fires the fixture no longer covers it
+    assert 0 in got or all(per_cust.get(ck, 0) > 0 for ck in custs)
+
+
+def test_tpch_q19_matches_python_reference(spark, sf_dir, duck):
+    """Independent implementation: per-arm Decimal loop; every OR arm
+    must contribute at least one line so the disjunction is exercised."""
+    from decimal import Decimal
+
+    part = {
+        k: (b, s)
+        for k, b, s in duck.execute(
+            "SELECT p_partkey, p_brand, p_size FROM part"
+        ).fetchall()
+    }
+    arms = [("Brand#12", 1, 15, 1, 15), ("Brand#23", 1, 20, 10, 25), ("Brand#14", 1, 25, 20, 35)]
+    n = 0
+    tot = Decimal(0)
+    arm_hits = [0, 0, 0]
+    for pk, qty, price, disc in duck.execute(
+        "SELECT l_partkey, l_quantity, l_extendedprice, l_discount FROM lineitem"
+    ).fetchall():
+        b, s = part[pk]
+        hit = False
+        for i, (brand, smin, smax, qmin, qmax) in enumerate(arms):
+            if b == brand and smin <= s <= smax and qmin <= qty <= qmax:
+                arm_hits[i] += 1
+                hit = True
+        if hit:
+            n += 1
+            p = Decimal(str(price)).quantize(Decimal("0.01"))
+            d = Decimal(str(disc)).quantize(Decimal("0.01"))
+            tot += p * (1 - d)
+    [r] = _rows("tpch_q19_disjunctive_revenue", spark, sf_dir)
+    assert r["n_lines"] == n
+    assert abs(r["revenue"] - float(tot)) <= 1e-6
+    assert all(h > 0 for h in arm_hits), f"dead OR arm: {arm_hits}"
+
+
+def test_tpch_q22_matches_python_reference(spark, sf_dir, duck):
+    """Independent implementation: Decimal mean threshold + set-based
+    anti join per nation."""
+    from decimal import Decimal
+
+    custs = duck.execute(
+        "SELECT c_custkey, c_nationkey, c_acctbal FROM customer"
+    ).fetchall()
+    pos = [Decimal(str(b)).quantize(Decimal("0.01")) for _, _, b in custs if b > 0]
+    mean = float(sum(pos)) / len(pos)
+    recent = {
+        ck
+        for ck, d in duck.execute(
+            "SELECT o_custkey, o_orderdate FROM orders"
+        ).fetchall()
+        if str(d) >= "2000-01-01"
+    }
+    nat = dict(duck.execute("SELECT n_nationkey, n_name FROM nation").fetchall())
+    agg: dict = {}
+    for ck, nk, bal in custs:
+        if bal > mean and ck not in recent:
+            n, s = agg.get(nat[nk], (0, Decimal(0)))
+            agg[nat[nk]] = (n + 1, s + Decimal(str(bal)).quantize(Decimal("0.01")))
+    got = {r["n_name"]: r for r in _rows("tpch_q22_idle_capital", spark, sf_dir)}
+    assert set(got) == set(agg) and agg, "no idle high-balance customers in fixture"
+    for name, (n, s) in agg.items():
+        assert got[name]["n_custs"] == n
+        assert abs(got[name]["total_acctbal"] - float(s)) <= 1e-6
+
+
+def test_novelty_matches_python_reference(spark, sf_dir, duck):
+    """Independent implementation: dict-based first-claimant scan over
+    string 8-grams; also pins the boundary invariants (first doc fully
+    novel, ratios in (0,1])."""
+    docs = sorted(
+        duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    )
+    gram_owner: dict = {}
+    per_doc = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        if len(toks) < 8:
+            continue
+        grams = {" ".join(toks[i : i + 8]) for i in range(len(toks) - 7)}
+        for g in grams:
+            gram_owner.setdefault(g, doc_id)
+        per_doc[doc_id] = grams
+    got = {r["doc_id"]: r for r in _rows("text_novelty_ratio", spark, sf_dir)}
+    assert set(got) == set(per_doc)
+    for doc_id, grams in per_doc.items():
+        novel = sum(1 for g in grams if gram_owner[g] == doc_id)
+        r = got[doc_id]
+        assert r["n_grams"] == len(grams), doc_id
+        assert r["n_novel"] == novel, doc_id
+        assert abs(r["novelty"] - novel / len(grams)) <= 1e-6
+    first = min(per_doc)
+    assert got[first]["novelty"] == 1.0
