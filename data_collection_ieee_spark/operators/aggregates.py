@@ -1476,3 +1476,134 @@ def tpch_q22_idle_capital(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("c_acctbal")).cast("double").alias("total_acctbal"),
         )
     )
+
+
+@query(
+    "stats_token_deciles",
+    oracle="""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+  FROM documents
+),
+r AS (
+  SELECT source, x,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM t
+)
+SELECT source, CAST(d.d AS INT) AS decile, CAST(x AS BIGINT) AS cut_tokens
+FROM r, range(1, 10) d(d)
+WHERE rn = CAST(ceil(d.d * n / 10.0) AS BIGINT)
+""",
+)
+def stats_token_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-source decile cut-points of document token length by
+    the nearest-rank definition (cut_d = value at rank ceil(d*n/10)) —
+    the distribution profile behind packing-length and truncation
+    decisions, where the approximate-quantile sketch
+    (agg_approx_quantiles) is not defensible because downstream
+    thresholds get hard-coded from it. Exactness costs one per-source
+    rank window (hash-partitioned by source, linear per key — never a
+    global sort); the 9-way decile fan-out is a broadcast of a 9-row
+    literal range against the already-ranked frame, and only the 9
+    matching rows per source survive the filter. Nearest-rank picks an
+    ACTUAL data value (no interpolation), so both engines agree
+    exactly, with doc_id breaking ties inside equal lengths without
+    affecting the selected value."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).cast("long").alias("x")
+    )
+    w = Window.partitionBy("source").orderBy("x", "doc_id")
+    wn = Window.partitionBy("source")
+    r = docs.select(
+        "source",
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    return (
+        r.crossJoin(F.broadcast(deciles))
+        .filter(
+            F.col("rn")
+            == F.ceil(F.col("decile") * F.col("n") / F.lit(10.0)).cast("long")
+        )
+        .select("source", "decile", F.col("x").alias("cut_tokens"))
+    )
+
+
+_ZIPF_TOP = 100
+
+
+@query(
+    "stats_zipf_slope",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY token
+),
+ranked AS (
+  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, token ASC) AS r
+  FROM freq
+),
+top AS (
+  SELECT log10(CAST(r AS DOUBLE)) AS x, log10(CAST(f AS DOUBLE)) AS y
+  FROM ranked WHERE r <= {_ZIPF_TOP}
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM top
+)
+SELECT n AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS zipf_intercept
+FROM s
+""",
+)
+def stats_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus unigram distribution: least-squares
+    slope (and intercept) of log10(frequency) against log10(rank) for
+    the top terms — the single-number corpus-health check (natural text
+    sits near slope −1; template/boilerplate floods flatten it, OCR
+    noise steepens the tail). Shape: one map-side-combined token count
+    (the only corpus-sized shuffle), top-100 by frequency via
+    orderBy().limit() — TakeOrderedAndProject, never a global sort —
+    then the closed-form normal-equation slope over ≤100 rows with the
+    identical parenthesization on both engines; ranks are exact
+    integers with a token tie-break, logs/sums run over a bounded frame
+    so double reassociation stays under the 6-dp rounding. At 100 TB
+    the fit frame is still 100 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    top = freq.orderBy(F.col("f").desc(), F.col("token").asc()).limit(_ZIPF_TOP)
+    w = Window.orderBy(F.col("f").desc(), F.col("token").asc())
+    xy = top.select(
+        F.log10(F.row_number().over(w).cast("double")).alias("x"),
+        F.log10(F.col("f").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+    )

@@ -730,3 +730,55 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_docs") / F.col("n"), 6).alias("share"),
         )
     )
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle="""
+WITH per_doc AS (
+  SELECT source, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         md5(lower(text)) AS content_key
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT lang) AS INT) AS n_langs,
+       CAST(COUNT(DISTINCT content_key) AS BIGINT) AS n_unique,
+       round(1.0 - CAST(COUNT(DISTINCT content_key) AS DOUBLE) / COUNT(*), 6)
+         AS dup_rate,
+       round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars
+FROM per_doc
+GROUP BY source
+""",
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card summary — the composition table that
+    fronts a training-corpus release: volume (docs, chars), language
+    breadth, exact-duplicate rate (1 − distinct-content/docs, content
+    keyed by md5 of the lowercased text — the same normalization as
+    dedup_exact_key so the card's dup_rate and the dedup operator's
+    removals reconcile), and mean document size. One narrow projection
+    and ONE groupBy(source) carrying two exact distinct aggregates;
+    Spark plans multi-distinct as a single expand + two-phase
+    aggregate, map-side combined, so the corpus is scanned once and
+    shuffled once on source. Result cardinality = |sources| at any
+    data size."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.md5(F.lower("text").cast("binary")).alias("content_key"),
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.countDistinct("lang").cast("int").alias("n_langs"),
+        F.countDistinct("content_key").cast("long").alias("n_unique"),
+        F.round(
+            1.0 - F.countDistinct("content_key").cast("double") / F.count("*"), 6
+        ).alias("dup_rate"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias(
+            "mean_chars"
+        ),
+    )

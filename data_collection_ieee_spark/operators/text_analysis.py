@@ -797,3 +797,84 @@ def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang,
+         {_sql_score('en')} AS s_en,
+         {_sql_score('de')} AS s_de,
+         {_sql_score('es')} AS s_es,
+         {_sql_score('fr')} AS s_fr
+  FROM documents
+),
+pred AS (
+  SELECT lang AS actual_lang,
+         CASE
+           WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_es >= s_fr THEN 'es'
+           ELSE 'fr'
+         END AS pred_lang
+  FROM scored
+),
+cells AS (
+  SELECT actual_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY actual_lang, pred_lang
+),
+rows_tot AS (
+  SELECT actual_lang, SUM(n_docs) AS row_n FROM cells GROUP BY actual_lang
+)
+SELECT c.actual_lang, c.pred_lang, c.n_docs,
+       round(CAST(c.n_docs AS DOUBLE) / r.row_n, 6) AS row_share
+FROM cells c JOIN rows_tot r ON c.actual_lang = r.actual_lang
+""",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-lexicon language classifier
+    against the labeled `lang` column — the evaluation step that turns
+    `text_lang_id` from a feature into a monitored component (per-class
+    recall sits on the diagonal's row_share). The classifier expression
+    is the SAME argmax used by text_lang_id, re-stated here so the two
+    queries cannot drift apart silently; the corpus collapses through
+    one map-side-combined groupBy to ≤ |langs|² cells, and the per-row
+    totals re-aggregate that tiny frame (scanned once, joined
+    broadcast). Cardinality is independent of corpus size — the 100 TB
+    cost is one narrow scan plus one tiny shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in ms])))
+        for lang, ms in _MARKERS.items()
+    }
+    scored = docs.select(
+        F.col("lang").alias("actual_lang"),
+        *[scores[lang].alias(f"s_{lang}") for lang in _MARKERS],
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    cells = (
+        scored.select("actual_lang", pred.alias("pred_lang"))
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    rows_tot = cells.groupBy("actual_lang").agg(F.sum("n_docs").alias("row_n"))
+    return cells.join(F.broadcast(rows_tot), "actual_lang").select(
+        "actual_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("row_n"), 6).alias(
+            "row_share"
+        ),
+    )

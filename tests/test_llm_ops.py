@@ -1354,3 +1354,101 @@ def test_novelty_matches_python_reference(spark, sf_dir, duck):
         assert abs(r["novelty"] - novel / len(grams)) <= 1e-6
     first = min(per_doc)
     assert got[first]["novelty"] == 1.0
+
+
+def test_langid_confusion_consistent_with_lang_id(spark, sf_dir):
+    """The confusion matrix must be exactly the groupBy of
+    text_lang_id's per-doc predictions — the two restatements of the
+    classifier may never drift."""
+    from collections import Counter
+
+    preds = Counter(
+        (r["actual_lang"], r["pred_lang"])
+        for r in _rows("text_lang_id", spark, sf_dir)
+    )
+    rows_tot = Counter()
+    for (a, _), n in preds.items():
+        rows_tot[a] += n
+    got = {
+        (r["actual_lang"], r["pred_lang"]): r
+        for r in _rows("text_langid_confusion", spark, sf_dir)
+    }
+    assert set(got) == set(preds)
+    for k, r in got.items():
+        assert r["n_docs"] == preds[k]
+        assert abs(r["row_share"] - preds[k] / rows_tot[k[0]]) <= 1e-6
+    # row shares sum to 1 per actual language
+    for a in rows_tot:
+        s = sum(r["row_share"] for k, r in got.items() if k[0] == a)
+        assert abs(s - 1.0) <= 1e-5, a
+
+
+def test_token_deciles_matches_python_reference(spark, sf_dir, duck):
+    """Independent implementation: sorted-list nearest-rank picks."""
+    import math
+
+    by_source: dict = {}
+    for source, text in duck.execute(
+        "SELECT source, text FROM documents"
+    ).fetchall():
+        by_source.setdefault(source, []).append(len(text.split(" ")))
+    got = {
+        (r["source"], r["decile"]): r["cut_tokens"]
+        for r in _rows("stats_token_deciles", spark, sf_dir)
+    }
+    expected = {}
+    for source, xs in by_source.items():
+        xs.sort()
+        for d in range(1, 10):
+            expected[(source, d)] = xs[math.ceil(d * len(xs) / 10) - 1]
+    assert got == expected
+    # deciles are monotone within each source
+    for source in by_source:
+        cuts = [got[(source, d)] for d in range(1, 10)]
+        assert cuts == sorted(cuts), source
+
+
+def test_zipf_slope_matches_numpy_reference(spark, sf_dir, duck):
+    """Independent implementation: Counter + numpy polyfit over the
+    same top-100 ranks; natural-ish text must slope downward."""
+    import numpy as np
+    from collections import Counter
+
+    freq = Counter()
+    for (text,) in duck.execute("SELECT text FROM documents").fetchall():
+        freq.update(text.split(" "))
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    x = np.log10(np.arange(1, len(top) + 1, dtype=float))
+    y = np.log10(np.array([f for _, f in top], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    [r] = _rows("stats_zipf_slope", spark, sf_dir)
+    assert r["n_terms"] == len(top)
+    assert abs(r["zipf_slope"] - slope) <= 1e-5
+    assert abs(r["zipf_intercept"] - intercept) <= 1e-5
+    assert r["zipf_slope"] < 0.0, "frequency must decay with rank"
+
+
+def test_dataset_card_matches_python_reference(spark, sf_dir, duck):
+    """Independent implementation: dict accumulation per source with
+    hashlib-keyed exact-duplicate detection."""
+    import hashlib
+
+    stats: dict = {}
+    for source, lang, n_chars, text in duck.execute(
+        "SELECT source, lang, n_chars, text FROM documents"
+    ).fetchall():
+        s = stats.setdefault(source, {"n": 0, "chars": 0, "langs": set(), "keys": set()})
+        s["n"] += 1
+        s["chars"] += n_chars
+        s["langs"].add(lang)
+        s["keys"].add(hashlib.md5(text.lower().encode()).hexdigest())
+    got = {r["source"]: r for r in _rows("pipeline_dataset_card", spark, sf_dir)}
+    assert set(got) == set(stats)
+    for source, s in stats.items():
+        r = got[source]
+        assert r["n_docs"] == s["n"]
+        assert r["sum_chars"] == s["chars"]
+        assert r["n_langs"] == len(s["langs"])
+        assert r["n_unique"] == len(s["keys"])
+        assert abs(r["dup_rate"] - (1.0 - len(s["keys"]) / s["n"])) <= 1e-6
+        assert abs(r["mean_chars"] - s["chars"] / s["n"]) <= 1e-6

@@ -58,6 +58,7 @@ CROSS_OK = {
     "sample_hash_split",  # 1-row corpus-total share denominator broadcast onto the 3-row split table
     "embed_centroid_drift",  # 1-row global-norm scalar broadcast onto the ≤|labels|-row centroid table
     "tpch_q22_idle_capital",  # 1-row positive-balance mean broadcast onto customer as the scalar-subquery threshold
+    "stats_token_deciles",  # 9-row decile literal broadcast against the ranked frame — bounded fan-out by construction
 }
 # roundtrip sinks re-read their own CSV/JSON output with a bare scan —
 # nothing above the scan to fuse, so the absence of a codegen span is
