@@ -211,3 +211,41 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "lineitem").select(*_ROUNDTRIP_COLS)
     df.write.mode("overwrite").orc(path)
     return spark.read.schema(_ROUNDTRIP_SCHEMA).orc(path)
+
+
+@query(
+    "scan_parquet_merge_schema",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       CAST(NULL AS VARCHAR) AS l_returnflag
+FROM lineitem WHERE l_linenumber = 1
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem WHERE l_linenumber <> 1
+""",
+)
+def scan_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations of the same table
+    — an old shard written BEFORE a column existed and a new shard with
+    it — read back as one frame via mergeSchema, the reader-side
+    counterpart of A11/A12's writer-side schema-drift union (reference
+    main.py:94-107 vs mainn.py:67-83: the same dataset, two layouts).
+    The old generation's missing column comes back NULL, exactly like
+    the oracle's UNION with a NULL cast. mergeSchema is a FOOTER
+    operation (Spark merges the schemas from file metadata, one small
+    read per file, then plans a single vectorized scan with per-file
+    projection) — at 100 TB the cost over a plain scan is one footer
+    pass, not a data pass; the split predicate here is only the test
+    harness's way of making the two generations disjoint."""
+    path_old = _scratch("merge_schema_v1")
+    path_new = _scratch("merge_schema_v2")
+    li = load_table(spark, sf_dir, "lineitem").select(*_ROUNDTRIP_COLS)
+    li.filter(F.col("l_linenumber") == 1).drop("l_returnflag").write.mode(
+        "overwrite"
+    ).parquet(path_old)
+    li.filter(F.col("l_linenumber") != 1).write.mode("overwrite").parquet(path_new)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path_old, path_new)
+        .select(*_ROUNDTRIP_COLS)
+    )

@@ -663,3 +663,120 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.withColumn(
         "total_users", F.sum("new_users").over(w).cast("long")
     )
+
+
+@query(
+    "events_conversion_lag",
+    oracle="""
+WITH s AS (
+  SELECT user_id, min(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.t_signup
+  GROUP BY e.user_id
+),
+coh AS (
+  SELECT strftime(CAST(s.t_signup AS TIMESTAMP), '%Y-%m') AS cohort_month,
+         p.user_id IS NOT NULL AS converted,
+         epoch_us(CAST(p.t_purchase AS TIMESTAMP))
+           - epoch_us(CAST(s.t_signup AS TIMESTAMP)) AS lag_us
+  FROM s LEFT JOIN p ON s.user_id = p.user_id
+),
+ranked AS (
+  SELECT cohort_month, lag_us,
+         ROW_NUMBER() OVER (PARTITION BY cohort_month ORDER BY lag_us) AS rn,
+         COUNT(*) OVER (PARTITION BY cohort_month) AS nc
+  FROM coh WHERE converted
+),
+quant AS (
+  SELECT cohort_month,
+         MAX(CASE WHEN rn = CAST(ceil(nc / 2.0) AS BIGINT) THEN lag_us END) AS med_us,
+         MAX(CASE WHEN rn = CAST(ceil(0.9 * nc) AS BIGINT) THEN lag_us END) AS p90_us
+  FROM ranked GROUP BY cohort_month
+),
+base AS (
+  SELECT cohort_month,
+         CAST(COUNT(*) AS BIGINT) AS n_signups,
+         CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+  FROM coh GROUP BY cohort_month
+)
+SELECT b.cohort_month, b.n_signups, b.n_converted,
+       round(CAST(b.n_converted AS DOUBLE) / b.n_signups, 6) AS conv_rate,
+       round(q.med_us / 1e6, 6) AS median_lag_s,
+       round(q.p90_us / 1e6, 6) AS p90_lag_s
+FROM base b LEFT JOIN quant q ON b.cohort_month = q.cohort_month
+""",
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion latency, cohortized by signup month:
+    per cohort, the conversion rate and the EXACT nearest-rank median
+    and p90 of the lag — the funnel's temporal complement
+    (events_funnel reports stage counts and MEAN latencies; tail
+    latencies need order statistics, and hard-coding SLAs off an
+    approximate sketch is the same mistake stats_token_deciles exists
+    to avoid). Shape: two per-user min aggregations chained on
+    user_id (monotonically shrinking frames, AQE co-locates), then
+    rank windows PARTITIONED BY cohort month — never global — over
+    only the converted users, and a tiny cohort-level join. Lags are
+    exact integer microseconds end to end; the only doubles are the
+    published rounded seconds. At 100 TB every shuffle keys on
+    user_id or cohort_month; no collect, no broadcast of anything
+    unbounded."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    coh = s.join(p, "user_id", "left").select(
+        F.date_format("t_signup", "yyyy-MM").alias("cohort_month"),
+        F.col("t_purchase").isNotNull().alias("converted"),
+        (F.unix_micros("t_purchase") - F.unix_micros("t_signup")).alias("lag_us"),
+    )
+    wr = Window.partitionBy("cohort_month").orderBy("lag_us")
+    wn = Window.partitionBy("cohort_month")
+    ranked = (
+        coh.filter(F.col("converted"))
+        .withColumn("rn", F.row_number().over(wr))
+        .withColumn("nc", F.count("*").over(wn))
+    )
+    quant = ranked.groupBy("cohort_month").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("nc") / F.lit(2.0)).cast("long"),
+                F.col("lag_us"),
+            )
+        ).alias("med_us"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.9) * F.col("nc")).cast("long"),
+                F.col("lag_us"),
+            )
+        ).alias("p90_us"),
+    )
+    base = coh.groupBy("cohort_month").agg(
+        F.count("*").cast("long").alias("n_signups"),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_converted"),
+    )
+    return base.join(quant, "cohort_month", "left").select(
+        "cohort_month",
+        "n_signups",
+        "n_converted",
+        F.round(F.col("n_converted").cast("double") / F.col("n_signups"), 6).alias(
+            "conv_rate"
+        ),
+        F.round(F.col("med_us") / F.lit(1e6), 6).alias("median_lag_s"),
+        F.round(F.col("p90_us") / F.lit(1e6), 6).alias("p90_lag_s"),
+    )

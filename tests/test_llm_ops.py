@@ -1452,3 +1452,64 @@ def test_dataset_card_matches_python_reference(spark, sf_dir, duck):
         assert r["n_unique"] == len(s["keys"])
         assert abs(r["dup_rate"] - (1.0 - len(s["keys"]) / s["n"])) <= 1e-6
         assert abs(r["mean_chars"] - s["chars"] / s["n"]) <= 1e-6
+
+
+def test_merge_schema_null_extends_old_generation(spark, sf_dir):
+    """The merged read must null-extend exactly the old generation's
+    rows and preserve the new generation's values byte-for-byte."""
+    src = registry.QUERIES["scan_parquet"](spark, sf_dir)
+    got = registry.QUERIES["scan_parquet_merge_schema"](spark, sf_dir)
+    assert got.count() == src.count()
+    old = got.filter("l_linenumber = 1")
+    assert old.filter("l_returnflag IS NOT NULL").count() == 0
+    assert old.count() == src.filter("l_linenumber = 1").count()
+    new_src = sorted(
+        tuple(r) for r in src.filter("l_linenumber <> 1").collect()
+    )
+    new_got = sorted(
+        tuple(r) for r in got.filter("l_linenumber <> 1").collect()
+    )
+    assert new_src == new_got
+
+
+def test_conversion_lag_matches_python_reference(spark, sf_dir, duck):
+    """Independent implementation: per-user first-signup/first-purchase
+    scan + sorted nearest-rank quantiles per cohort."""
+    import math
+
+    signup: dict = {}
+    purchases: dict = {}
+    for uid, et, ts in duck.execute(
+        "SELECT user_id, event_type, ts FROM events"
+    ).fetchall():
+        if et == "signup":
+            signup[uid] = min(signup.get(uid, ts), ts)
+        elif et == "purchase":
+            purchases.setdefault(uid, []).append(ts)
+    cohorts: dict = {}
+    for uid, t0 in signup.items():
+        month = f"{t0.year:04d}-{t0.month:02d}"
+        c = cohorts.setdefault(month, {"n": 0, "lags": []})
+        c["n"] += 1
+        after = [t for t in purchases.get(uid, []) if t > t0]
+        if after:
+            dt = min(after) - t0
+            c["lags"].append(int(dt.total_seconds() * 1_000_000))
+    got = {r["cohort_month"]: r for r in _rows("events_conversion_lag", spark, sf_dir)}
+    assert set(got) == set(cohorts)
+    any_converted = False
+    for month, c in cohorts.items():
+        r = got[month]
+        assert r["n_signups"] == c["n"]
+        assert r["n_converted"] == len(c["lags"])
+        assert abs(r["conv_rate"] - len(c["lags"]) / c["n"]) <= 1e-6
+        if c["lags"]:
+            any_converted = True
+            lags = sorted(c["lags"])
+            med = lags[math.ceil(len(lags) / 2) - 1] / 1e6
+            p90 = lags[math.ceil(0.9 * len(lags)) - 1] / 1e6
+            assert abs(r["median_lag_s"] - med) <= 1e-5, month
+            assert abs(r["p90_lag_s"] - p90) <= 1e-5, month
+        else:
+            assert r["median_lag_s"] is None
+    assert any_converted, "fixture has no signup->purchase conversions"
