@@ -1607,3 +1607,238 @@ def stats_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_intercept"
         ),
     )
+
+
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_18"
+_Q8_PTYPE = "STANDARD"
+_Q8_START = "1996-01-01 00:00:00"
+_Q8_END = "1998-01-01 00:00:00"
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+WITH flows AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+         n2.n_name AS supp_nation,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS rev
+  FROM lineitem l
+  JOIN part p     ON l.l_partkey = p.p_partkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+  JOIN region r   ON n1.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = '{_Q8_REGION}'
+    AND p.p_type = '{_Q8_PTYPE}'
+    AND o.o_orderdate >= TIMESTAMP '{_Q8_START}'
+    AND o.o_orderdate <  TIMESTAMP '{_Q8_END}'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}'
+                     THEN CAST(rev AS DECIMAL(20,4))
+                     ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE) AS nation_revenue,
+       CAST(SUM(CAST(rev AS DECIMAL(20,4))) AS DOUBLE) AS market_revenue,
+       round(CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}'
+                           THEN CAST(rev AS DECIMAL(20,4))
+                           ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(rev AS DECIMAL(20,4))) AS DOUBLE), 6) AS mkt_share
+FROM flows GROUP BY o_year
+""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style composite (national market share): one supplier
+    nation's share of a regional market's revenue for one product type,
+    per order year — the 8-table join whose point is that the optimizer
+    must keep the SELECTIVE dimension filters (region, product type,
+    two order years) ahead of the fact-fact joins. Catalyst does: the
+    p_type and date predicates push to the part/orders scans, region
+    prunes nation before the broadcast, and the share's numerator is a
+    conditional decimal aggregate over the SAME rows as the
+    denominator (one pass — never two scans reconciled later). Both
+    component revenues are published alongside the 6-dp share so the
+    oracle hash pins all three. At 100 TB the only large shuffles are
+    lineitem⋈part, ⋈orders and ⋈customer, each on its natural key;
+    nation/region broadcast at any SF, supplier by AQE's choice."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == _Q8_PTYPE
+    ).select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q8_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q8_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("o_year"))
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _Q8_REGION)
+    mkt_nations = F.broadcast(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("n_nationkey").alias("mkt_nationkey"))
+    )
+    supp_nation = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    rev = (
+        dec("l_extendedprice") * (F.lit(1).cast(RATE) - dec("l_discount", RATE))
+    ).cast("decimal(20,4)")
+    zero = F.lit(0).cast("decimal(20,4)")
+    flows = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(mkt_nations, F.col("c_nationkey") == F.col("mkt_nationkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            "o_year",
+            F.when(F.col("supp_nation") == _Q8_NATION, rev).otherwise(zero).alias(
+                "nat_rev"
+            ),
+            rev.alias("rev"),
+        )
+    )
+    agg = flows.groupBy("o_year").agg(
+        F.sum("nat_rev").cast("double").alias("nation_revenue"),
+        F.sum("rev").cast("double").alias("market_revenue"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_revenue",
+        "market_revenue",
+        F.round(F.col("nation_revenue") / F.col("market_revenue"), 6).alias(
+            "mkt_share"
+        ),
+    )
+
+
+_Q15_START = "1996-01-01 00:00:00"
+_Q15_END = "1996-04-01 00:00:00"
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         {sql_dsum("CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))", 'DECIMAL(20,4)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_START}'
+    AND l_shipdate <  TIMESTAMP '{_Q15_END}'
+  GROUP BY l_suppkey
+),
+mx AS (SELECT MAX(total_revenue) AS m FROM rev)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+CROSS JOIN mx WHERE r.total_revenue = mx.m
+""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style composite (top supplier): the supplier(s) whose
+    shipped revenue in one quarter equals the maximum — the
+    equal-to-scalar-aggregate shape (the benchmark wants a view +
+    subquery; here the per-supplier aggregate is computed ONCE and the
+    1-row max rides back as a broadcast, so the fact table is scanned
+    exactly once, not once per subquery). Equality on a float maximum
+    is normally a correctness trap — it is safe here, and identical
+    across engines, because total_revenue is an exact decimal sum on
+    both sides (the registry's determinism convention doing real work,
+    not just hash-stabilizing). Ties all surface. The final supplier
+    lookup joins on suppkey after the aggregate, so the join input is
+    |suppliers-with-sales|, never |lineitem|."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q15_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q15_END).cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (
+                dec("l_extendedprice")
+                * (F.lit(1).cast(RATE) - dec("l_discount", RATE))
+            ).cast("decimal(20,4)")
+        )
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("m"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("m"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q17_BRAND = "Brand#7"
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle=f"""
+WITH target AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = '{_Q17_BRAND}'
+),
+thresh AS (
+  SELECT l_partkey,
+         0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) AS t
+  FROM target GROUP BY l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_dsum("CAST(l_extendedprice AS DECIMAL(12,2))", 'DECIMAL(20,4)')} AS small_qty_revenue,
+       round({sql_dsum("CAST(l_extendedprice AS DECIMAL(12,2))", 'DECIMAL(20,4)')} / 7.0, 6) AS avg_yearly
+FROM target g JOIN thresh th ON g.l_partkey = th.l_partkey
+WHERE g.l_quantity < th.t
+""",
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style composite (small-quantity-order revenue): the
+    revenue sitting in orders below 20% of each part's own average
+    order quantity, for one brand — the correlated-aggregate-subquery
+    shape. Expressed as aggregate-then-self-join: the brand's lineitems
+    are scanned ONCE into a narrow frame, the per-part average reduces
+    it (map-side combined), and the threshold joins back on partkey —
+    Catalyst never re-executes the subquery per row, and AQE broadcasts
+    the per-part threshold table (|parts of one brand| rows — tiny at
+    any SF). The threshold itself is 0.2 · (decimal-sum / count) with
+    identical parenthesization on both engines, so the strict < at the
+    boundary can never disagree. Published as line count, exact decimal
+    revenue, and the benchmark's avg-yearly form (revenue / 7)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == _Q17_BRAND
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    target = li.join(part, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresh = target.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (F.sum(dec("l_quantity")).cast("double") / F.count("*"))
+        ).alias("t")
+    ).withColumnRenamed("l_partkey", "t_partkey")
+    small = target.join(
+        F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey")
+    ).filter(F.col("l_quantity") < F.col("t"))
+    return small.agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(dec("l_extendedprice").cast("decimal(20,4)"))
+        .cast("double")
+        .alias("small_qty_revenue"),
+        F.round(
+            F.sum(dec("l_extendedprice").cast("decimal(20,4)")).cast("double")
+            / F.lit(7.0),
+            6,
+        ).alias("avg_yearly"),
+    )

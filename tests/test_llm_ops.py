@@ -1513,3 +1513,111 @@ def test_conversion_lag_matches_python_reference(spark, sf_dir, duck):
         else:
             assert r["median_lag_s"] is None
     assert any_converted, "fixture has no signup->purchase conversions"
+
+
+def test_tpch_q8_matches_python_reference(spark, sf_dir, duck):
+    """Independent implementation: Decimal hash-join chain per year;
+    the chosen nation's numerator must be live at this SF."""
+    from decimal import Decimal
+
+    ptype = dict(duck.execute("SELECT p_partkey, p_type FROM part").fetchall())
+    orders = {
+        k: (c, d.year)
+        for k, c, d in duck.execute(
+            "SELECT o_orderkey, o_custkey, o_orderdate FROM orders"
+        ).fetchall()
+        if "1996-01-01" <= str(d) < "1998-01-01"
+    }
+    cust = dict(duck.execute("SELECT c_custkey, c_nationkey FROM customer").fetchall())
+    supp = dict(duck.execute("SELECT s_suppkey, s_nationkey FROM supplier").fetchall())
+    nat = dict(duck.execute("SELECT n_nationkey, n_name FROM nation").fetchall())
+    asia = {
+        k
+        for k, in duck.execute(
+            "SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA'"
+        ).fetchall()
+    }
+    per_year: dict = {}
+    for ok, pk, sk, price, disc in duck.execute(
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_extendedprice, l_discount "
+        "FROM lineitem"
+    ).fetchall():
+        if ok not in orders or ptype[pk] != "STANDARD":
+            continue
+        ck, year = orders[ok]
+        if cust[ck] not in asia:
+            continue
+        p = Decimal(str(price)).quantize(Decimal("0.01"))
+        d = Decimal(str(disc)).quantize(Decimal("0.01"))
+        r = p * (1 - d)
+        tot, nrev = per_year.get(year, (Decimal(0), Decimal(0)))
+        if nat[supp[sk]] == "NATION_18":
+            nrev += r
+        per_year[year] = (tot + r, nrev)
+    got = {r["o_year"]: r for r in _rows("tpch_q8_market_share", spark, sf_dir)}
+    assert set(got) == set(per_year)
+    assert any(n > 0 for _, n in per_year.values()), "dead numerator at this SF"
+    for year, (tot, nrev) in per_year.items():
+        r = got[year]
+        assert abs(r["market_revenue"] - float(tot)) <= 1e-6
+        assert abs(r["nation_revenue"] - float(nrev)) <= 1e-6
+        assert abs(r["mkt_share"] - float(nrev) / float(tot)) <= 1e-5
+
+
+def test_tpch_q15_matches_python_reference(spark, sf_dir, duck):
+    """Independent implementation: Decimal per-supplier sums + exact
+    max; equality-on-max must surface every tied supplier."""
+    from decimal import Decimal
+
+    rev: dict = {}
+    for sk, price, disc, sd in duck.execute(
+        "SELECT l_suppkey, l_extendedprice, l_discount, l_shipdate FROM lineitem"
+    ).fetchall():
+        if not ("1996-01-01" <= str(sd) < "1996-04-01"):
+            continue
+        p = Decimal(str(price)).quantize(Decimal("0.01"))
+        d = Decimal(str(disc)).quantize(Decimal("0.01"))
+        rev[sk] = rev.get(sk, Decimal(0)) + p * (1 - d)
+    m = max(rev.values())
+    expected = {sk for sk, v in rev.items() if v == m}
+    got = _rows("tpch_q15_top_supplier", spark, sf_dir)
+    assert {r["s_suppkey"] for r in got} == expected
+    for r in got:
+        assert abs(r["total_revenue"] - float(m)) <= 1e-6
+
+
+def test_tpch_q17_matches_python_reference(spark, sf_dir, duck):
+    """Independent implementation: per-part Decimal averages + strict
+    threshold scan."""
+    from decimal import Decimal
+
+    brand_parts = {
+        k
+        for k, in duck.execute(
+            "SELECT p_partkey FROM part WHERE p_brand = 'Brand#7'"
+        ).fetchall()
+    }
+    lines = [
+        (pk, qty, price)
+        for pk, qty, price in duck.execute(
+            "SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem"
+        ).fetchall()
+        if pk in brand_parts
+    ]
+    sums: dict = {}
+    for pk, qty, _ in lines:
+        s, c = sums.get(pk, (Decimal(0), 0))
+        sums[pk] = (s + Decimal(str(qty)).quantize(Decimal("0.01")), c + 1)
+    thresh = {pk: 0.2 * (float(s) / c) for pk, (s, c) in sums.items()}
+    small = [
+        (pk, price) for pk, qty, price in lines if qty < thresh[pk]
+    ]
+    tot = sum(
+        (Decimal(str(price)).quantize(Decimal("0.01")) for _, price in small),
+        Decimal(0),
+    )
+    [r] = _rows("tpch_q17_small_qty_revenue", spark, sf_dir)
+    assert r["n_lines"] == len(small) and small
+    assert abs(r["small_qty_revenue"] - float(tot)) <= 1e-6
+    assert abs(r["avg_yearly"] - float(tot) / 7.0) <= 1e-5
