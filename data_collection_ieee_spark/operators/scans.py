@@ -249,3 +249,81 @@ def scan_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path_old, path_new)
         .select(*_ROUNDTRIP_COLS)
     )
+
+
+_COMPACT_SMALL = 64
+_COMPACT_TARGET = 4
+
+
+@query(
+    "sink_compact_small_files",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem
+""",
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance operation every
+    long-lived parquet lake needs: a fragmented dataset (here 64 files
+    from an over-partitioned write, the shape a streaming sink or an
+    over-parallel job leaves behind) is rewritten into a few
+    right-sized files with `repartition(target)`, and the compacted
+    copy must be value-identical to the fragmented one. At 100 TB the
+    same two-liner runs with target = bytes/128 MB and is the
+    difference between a scan scheduling millions of tiny tasks (and
+    hammering the namenode/liststore) and one scheduling thousands of
+    full ones; correctness is the roundtrip oracle here, and the
+    file-count contract (64 → 4) is pinned by pytest since SQL cannot
+    see the filesystem."""
+    frag = _scratch("compact_fragmented")
+    compact = _scratch("compact_done")
+    li = load_table(spark, sf_dir, "lineitem").select(*_ROUNDTRIP_COLS)
+    li.repartition(_COMPACT_SMALL).write.mode("overwrite").parquet(frag)
+    spark.read.schema(_ROUNDTRIP_SCHEMA).parquet(frag).repartition(
+        _COMPACT_TARGET
+    ).write.mode("overwrite").parquet(compact)
+    return spark.read.schema(_ROUNDTRIP_SCHEMA).parquet(compact)
+
+
+@query(
+    "sink_partitioned_overwrite",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem WHERE l_returnflag <> 'R'
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber = 1
+""",
+)
+def sink_partitioned_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill primitive:
+    rewriting one partition of a partitioned table must replace ONLY
+    the partitions present in the incoming data, leaving every other
+    partition's files untouched (static overwrite mode would truncate
+    the whole table — the classic production data-loss foot-gun this
+    operator exists to demonstrate against). Here the table is
+    partitioned by l_returnflag, fully written once, then the 'R'
+    partition alone is re-written with a reduced slice; the read-back
+    must equal other-partitions-unchanged UNION the new 'R' content,
+    which is exactly the oracle. The mode is set per-write via
+    .option("partitionOverwriteMode", "dynamic") — session config is
+    not mutated. pytest additionally pins that the untouched
+    partitions' physical files are byte-identical before and after.
+    At 100 TB this is how daily reruns land: one partition's files
+    swap atomically per rerun, no table-wide rewrite."""
+    table = _scratch("dyn_overwrite_table")
+    li = load_table(spark, sf_dir, "lineitem").select(*_ROUNDTRIP_COLS)
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(table)
+    replacement = li.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_linenumber") == 1)
+    )
+    replacement.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("l_returnflag").parquet(table)
+    data_schema = "l_orderkey bigint, l_linenumber int, l_quantity double, l_extendedprice double"
+    out = spark.read.schema(data_schema).parquet(table)
+    # partition column comes back from the directory layout
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        F.col("l_returnflag").cast("string").alias("l_returnflag"),
+    )

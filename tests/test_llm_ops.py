@@ -1621,3 +1621,64 @@ def test_tpch_q17_matches_python_reference(spark, sf_dir, duck):
     assert r["n_lines"] == len(small) and small
     assert abs(r["small_qty_revenue"] - float(tot)) <= 1e-6
     assert abs(r["avg_yearly"] - float(tot) / 7.0) <= 1e-5
+
+
+def test_compaction_reduces_file_count_and_preserves_values(spark, sf_dir):
+    """The compacted copy must hold the exact source multiset in the
+    target number of files (the part SQL cannot see)."""
+    import glob
+    import os
+    import tempfile
+
+    src = sorted(
+        tuple(r) for r in registry.QUERIES["scan_parquet"](spark, sf_dir).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in registry.QUERIES["sink_compact_small_files"](spark, sf_dir).collect()
+    )
+    assert src == got
+    base = os.path.join(tempfile.gettempdir(), "dcis_scratch")
+    frag = glob.glob(os.path.join(base, "compact_fragmented", "part-*"))
+    compact = glob.glob(os.path.join(base, "compact_done", "part-*"))
+    assert len(frag) == 64
+    assert len(compact) == 4
+
+
+def test_dynamic_overwrite_leaves_other_partitions_untouched(spark, sf_dir):
+    """Dynamic mode must swap ONLY the rewritten partition: the other
+    partitions' physical files must be byte-identical before and after,
+    and the rewritten one must hold exactly the replacement rows."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    registry.QUERIES["sink_partitioned_overwrite"](spark, sf_dir).collect()
+    base = os.path.join(
+        tempfile.gettempdir(), "dcis_scratch", "dyn_overwrite_table"
+    )
+
+    def digests(flag):
+        out = {}
+        for f in glob.glob(os.path.join(base, f"l_returnflag={flag}", "part-*")):
+            out[os.path.basename(f)] = hashlib.md5(open(f, "rb").read()).hexdigest()
+        return out
+
+    before = {flag: digests(flag) for flag in ("N", "A")}
+    # second run: full write + dynamic overwrite again — N/A partitions
+    # are rewritten by the FULL write, so capture after one more run and
+    # instead verify within-run: re-run only the dynamic step by hand
+    src = registry.QUERIES["scan_parquet"](spark, sf_dir)
+    replacement = src.filter("l_returnflag = 'R' AND l_linenumber = 1")
+    replacement.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("l_returnflag").parquet(base)
+    after = {flag: digests(flag) for flag in ("N", "A")}
+    assert before == after, "dynamic overwrite touched a foreign partition"
+    r_rows = (
+        spark.read.parquet(base).filter("l_returnflag = 'R'").count()
+    )
+    assert r_rows == replacement.count()
+    # static mode on the same write would have truncated N/A entirely
+    assert all(before[f] for f in before), "baseline partitions missing"
