@@ -327,3 +327,52 @@ def sink_partitioned_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         F.col("l_returnflag").cast("string").alias("l_returnflag"),
     )
+
+
+@query(
+    "scan_text_log_roundtrip",
+    oracle="""
+SELECT event_id,
+       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       user_id, event_type,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM events
+""",
+)
+def scan_text_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-log ingestion path: events serialized as delimited text
+    lines (`spark.write.text`), read back with `spark.read.text` and
+    parsed with JVM string functions into typed columns — the pattern
+    for the petabytes of application logs that arrive as text, not
+    parquet, where the parse must be a narrow per-row map (no UDF, no
+    shuffle) so it fuses into whole-stage codegen right above the line
+    scan. Timestamps travel as integer epoch-micros and money as
+    integer cents, so the roundtrip is exact by construction — the
+    same discipline a production log schema needs, since float-in-text
+    roundtrips are where silent corruption lives. At 100 TB the text
+    read parallelizes by line-splittable blocks exactly like any
+    other file scan; the oracle reads the original events table, so
+    serialize → write → read → parse is verified value-exact
+    end-to-end."""
+    path = _scratch("text_log_roundtrip")
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.unix_micros("ts").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.round(F.col("value") * 100).cast("long").cast("string"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), r"\|")
+    return raw.select(
+        parts.getItem(0).cast("long").alias("event_id"),
+        parts.getItem(1).cast("long").alias("ts_us"),
+        parts.getItem(2).cast("long").alias("user_id"),
+        parts.getItem(3).alias("event_type"),
+        parts.getItem(4).cast("long").alias("value_cents"),
+    )

@@ -1682,3 +1682,26 @@ def test_dynamic_overwrite_leaves_other_partitions_untouched(spark, sf_dir):
     assert r_rows == replacement.count()
     # static mode on the same write would have truncated N/A entirely
     assert all(before[f] for f in before), "baseline partitions missing"
+
+
+def test_text_log_roundtrip_exact(spark, sf_dir, duck):
+    """Independent implementation: Python serialization of the same
+    lines; the parse must reproduce every event exactly (no float
+    drift — that is the point of the integer wire format)."""
+    from datetime import datetime
+
+    epoch = datetime(1970, 1, 1)
+    expected = set()
+    for eid, ts, uid, et, val in duck.execute(
+        "SELECT event_id, ts, user_id, event_type, value FROM events"
+    ).fetchall():
+        # timezone-free arithmetic on the naive datetime (the parquet
+        # timestamps are NTZ; .timestamp() would apply the host zone)
+        d = ts - epoch
+        us = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+        expected.add((eid, us, uid, et, round(val * 100)))
+    got = {
+        (r["event_id"], r["ts_us"], r["user_id"], r["event_type"], r["value_cents"])
+        for r in _rows("scan_text_log_roundtrip", spark, sf_dir)
+    }
+    assert got == expected
