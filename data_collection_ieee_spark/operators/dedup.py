@@ -465,9 +465,13 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
+    # No broadcast hint: the size tables are CORPUS-sized (one row per
+    # document), not dims — hard-broadcasting them would OOM at 100 TB.
+    # AQE picks broadcast on its own below its threshold and shuffle
+    # above it (same convention as tpch_q14's part join).
     hist = (
-        inter.join(F.broadcast(na), "a_id")
-        .join(F.broadcast(nb), "b_id")
+        inter.join(na, "a_id")
+        .join(nb, "b_id")
         .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
         .select(F.expr("CAST((10 * inter) DIV uni AS INT)").alias("jaccard_bucket"))
         .groupBy("jaccard_bucket")
@@ -512,8 +516,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the same postings count-join candidate generation as
     `dedup_ngram_jaccard`'s default path (shuffle on 8-byte shingle
-    hashes, map-side-combined per-pair intersection counts, broadcast
-    size attach). The Jaccard prefix-filter escape does NOT transfer:
+    hashes, map-side-combined per-pair intersection counts, AQE-chosen
+    size attach — the corpus-sized size tables carry no broadcast hint). The Jaccard prefix-filter escape does NOT transfer:
     containment has no lower bound on the larger set's size, so the
     prefix theorem's ⌈τ·n⌉ bound only holds for the smaller side. At
     campaign scale the standard moves are (a) df-capping the postings
@@ -535,9 +539,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
     m = F.least("n_a", "n_b")
+    # Corpus-sized size tables: no broadcast hint (AQE decides) — see
+    # dedup_threshold_sweep's note; hard-broadcast of an unbounded side
+    # is the 100 TB OOM pattern this repo bans.
     return (
-        inter.join(F.broadcast(na), "a_id")
-        .join(F.broadcast(nb), "b_id")
+        inter.join(na, "a_id")
+        .join(nb, "b_id")
         .filter(100 * F.col("inter") >= CONTAINMENT_THRESHOLD_PCT * m)
         .select(
             "a_id",

@@ -352,18 +352,25 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus bytes / chunk size; digests are 16-byte keys so the shuffle
     volume is corpus_bytes/4 at this chunk size."""
     docs = load_table(spark, sf_dir, "documents")
-    chunks = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"""
+    # length > 0 guard: for empty text Spark's sequence(0, -1) auto-steps
+    # DOWN and yields [0, -1] (two bogus chunks) while the oracle's
+    # range(0, 0) is empty — zero-length payloads must emit no chunks.
+    chunks = (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""
                 transform(
                   sequence(0, CAST((length(text) + {_CHUNK_CHARS} - 1) DIV {_CHUNK_CHARS} AS INT) - 1),
                   j -> substring(text, 1 + j * {_CHUNK_CHARS}, {_CHUNK_CHARS}))
                 """
-            )
-        ).alias("chunk"),
-    ).select("doc_id", F.md5(F.encode("chunk", "UTF-8")).alias("h"))
+                )
+            ).alias("chunk"),
+        )
+        .select("doc_id", F.md5(F.encode("chunk", "UTF-8")).alias("h"))
+    )
     freq = chunks.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
     shared = F.when(F.col("ndocs") >= 2, 1).otherwise(0)
     return (

@@ -581,11 +581,10 @@ def mix_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _scorecard_oracle() -> str:
     """Compose the constituents' registered oracle SQL as CTEs — the
-    scorecard's oracle can never drift from the operators it joins."""
-    # imported for registration side effect: load_all() imports modules
-    # alphabetically, so text_analysis hasn't registered yet when this
-    # module is first executed
-    from data_collection_ieee_spark.operators import text_analysis  # noqa: F401
+    scorecard's oracle can never drift from the operators it joins.
+    Passed to @query as a CALLABLE: the registry resolves it at the end
+    of load_all(), after every module has registered, so there is no
+    import-order coupling between operator modules."""
     from data_collection_ieee_spark.registry import ORACLES
 
     return f"""
@@ -610,7 +609,7 @@ JOIN lg ON q.doc_id = lg.doc_id
 
 @query(
     "pipeline_doc_scorecard",
-    oracle=_scorecard_oracle(),
+    oracle=_scorecard_oracle,
 )
 def pipeline_doc_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document curation labels table: every verdict-bearing signal

@@ -356,23 +356,40 @@ def scan_text_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end."""
     path = _scratch("text_log_roundtrip")
     ev = load_table(spark, sf_dir, "events")
+    # Null discipline: concat_ws silently DROPS null fields, which would
+    # shift every later field during the split-parse and misalign the
+    # row instead of round-tripping a null. Encode nulls as an explicit
+    # sentinel so the field count is invariant; nullif() restores them
+    # on parse. The '|' delimiter is asserted absent from the one
+    # free-text field (a '|' inside event_type would also shift the
+    # parse) — a production log schema escapes instead; this schema's
+    # event_type is a closed enum so fail-loud is the honest contract.
+    nul = "\\N"  # the classic text-format null sentinel
+    def _s(col):  # serialize one field, null-safe
+        return F.coalesce(col.cast("string"), F.lit(nul))
+
     lines = ev.select(
         F.concat_ws(
             "|",
-            F.col("event_id").cast("string"),
-            F.unix_micros("ts").cast("string"),
-            F.col("user_id").cast("string"),
-            F.col("event_type"),
-            F.round(F.col("value") * 100).cast("long").cast("string"),
+            _s(F.col("event_id")),
+            _s(F.unix_micros("ts")),
+            _s(F.col("user_id")),
+            _s(F.when(F.col("event_type").contains("|"),
+                      F.raise_error(F.lit("event_type contains delimiter '|'")))
+               .otherwise(F.col("event_type"))),
+            _s(F.round(F.col("value") * 100).cast("long")),
         ).alias("value")
     )
     lines.write.mode("overwrite").text(path)
     raw = spark.read.text(path)
     parts = F.split(F.col("value"), r"\|")
+    def _p(i):  # parse one field, sentinel → null
+        return F.nullif(parts.getItem(i), F.lit(nul))
+
     return raw.select(
-        parts.getItem(0).cast("long").alias("event_id"),
-        parts.getItem(1).cast("long").alias("ts_us"),
-        parts.getItem(2).cast("long").alias("user_id"),
-        parts.getItem(3).alias("event_type"),
-        parts.getItem(4).cast("long").alias("value_cents"),
+        _p(0).cast("long").alias("event_id"),
+        _p(1).cast("long").alias("ts_us"),
+        _p(2).cast("long").alias("user_id"),
+        _p(3).alias("event_type"),
+        _p(4).cast("long").alias("value_cents"),
     )

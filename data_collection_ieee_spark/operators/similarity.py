@@ -423,7 +423,13 @@ def _knn_join_impl(
     import numpy as np
 
     if n_blocks is None:
-        n_blocks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # spark.sql.shuffle.partitions can be unset or non-numeric
+        # ("auto") under AQE-managed deployments — fall back to the
+        # cluster's default parallelism instead of raising at plan time.
+        try:
+            n_blocks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:  # unset key raises; "auto" fails int()
+            n_blocks = int(spark.sparkContext.defaultParallelism)
 
     emb = load_table(spark, sf_dir, "embeddings")
     base = (

@@ -29,16 +29,30 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# oracles registered as zero-arg callables, resolved by load_all() AFTER
+# every module has imported — lets an oracle compose other operators'
+# registered SQL without import-order coupling between operator modules
+_LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 
 
-def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
-    """Register ``fn`` as queries()[name]; optionally its oracle SQL."""
+def query(
+    name: str, oracle: Optional[str | Callable[[], str]] = None
+) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as queries()[name]; optionally its oracle SQL.
+
+    ``oracle`` may be a SQL string, or a zero-arg callable returning one
+    — callables are resolved at the end of :func:`load_all`, after all
+    operator modules have registered, so a composed oracle may reference
+    any other query's ORACLES entry regardless of module import order.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query registration: {name}")
         QUERIES[name] = fn
-        if oracle is not None:
+        if callable(oracle):
+            _LAZY_ORACLES[name] = oracle
+        elif oracle is not None:
             ORACLES[name] = oracle.strip()
         return fn
 
@@ -64,3 +78,9 @@ def load_all() -> None:
         udfs,
         windows,
     )
+
+    # Resolve composed oracles now that every module has registered
+    # (idempotent: each callable is popped once; results are plain SQL).
+    while _LAZY_ORACLES:
+        qname, thunk = _LAZY_ORACLES.popitem()
+        ORACLES[qname] = thunk().strip()
