@@ -1,0 +1,455 @@
+"""Statistical profile operators (SURVEY.md §2C "aggregates/stats
+widening") — correlation, KS, Gini, chi-square, exact deciles, Zipf.
+
+Split from operators/aggregates.py (round 7, VERDICT r6 item 5): same
+registry names, byte-identical query bodies; `load_all()` imports this
+module alongside aggregates/tpch so registration is unchanged.
+
+All exactness conventions follow the registry docstring: decimal sums
+for anything the oracle hashes, integer-exact thresholds, explicit rank
+columns instead of ORDER BY. Reference lineage: the reference computes
+no statistics at all (main.py stops at CSV export); this module is the
+profiling surface a curation campaign runs over the same schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_collection_ieee_spark.catalog import load_table
+from data_collection_ieee_spark.functions.exact import dec
+from data_collection_ieee_spark.registry import query
+
+@query(
+    "stats_corr",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+FROM s
+""",
+)
+def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group WITHOUT corr()'s float-accumulation
+    nondeterminism: the five moments are exact decimal sums (order-
+    independent), and the closed-form correlation is one fixed double
+    expression over them — bit-identical on any partitioning, any
+    engine. Still one map-side-combined aggregate at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = "decimal(30,4)"
+    # hoist the double→decimal casts into ONE projection so each row
+    # pays two casts, not six: the five moment aggregates then reference
+    # the bound attributes instead of re-evaluating dec() per expression
+    proj = li.select(
+        "l_returnflag",
+        dec("l_quantity").alias("xd"),
+        dec("l_extendedprice").alias("yd"),
+    )
+    x, y = F.col("xd"), F.col("yd")
+    s = proj.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast(big)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(big)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(big)).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "stats_ks_source",
+    oracle="""
+WITH lens AS (SELECT source, n_chars AS x FROM documents),
+ns AS (SELECT source, COUNT(*) AS n FROM lens GROUP BY source),
+hist AS (SELECT source, x, COUNT(*) AS cnt FROM lens GROUP BY source, x),
+xs AS (SELECT DISTINCT x FROM lens),
+grid AS (SELECT ns.source, ns.n, xs.x FROM ns CROSS JOIN xs),
+cum AS (
+  SELECT grid.source, grid.n, grid.x,
+         SUM(COALESCE(hist.cnt, 0)) OVER (PARTITION BY grid.source ORDER BY grid.x
+                                          ROWS UNBOUNDED PRECEDING) AS c
+  FROM grid LEFT JOIN hist ON grid.source = hist.source AND grid.x = hist.x
+),
+num AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.n AS n_a, b.n AS n_b, a.x,
+         abs(a.c * b.n - b.c * a.n) AS num
+  FROM cum a JOIN cum b ON a.x = b.x AND a.source < b.source
+),
+w AS (
+  SELECT *, MAX(num) OVER (PARTITION BY source_a, source_b) AS mx FROM num
+)
+SELECT source_a, source_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(CAST(mx AS DOUBLE) / (n_a * n_b), 6) AS ks_stat,
+       CAST(MIN(CASE WHEN num = mx THEN x END) AS BIGINT) AS ks_at_value
+FROM w GROUP BY source_a, source_b, n_a, n_b, mx
+""",
+)
+def stats_ks_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between every pair of
+    sources over the document-length distribution — the drift test a
+    curation pipeline runs when a new crawl lands ("does src3's length
+    profile match src1's?"). D = max_x |F_a(x) − F_b(x)| evaluated on
+    the exact value grid; the comparison is integer cross-multiplied
+    (|c_a·n_b − c_b·n_a| over the common denominator n_a·n_b), so the
+    max and its argmax (smallest attaining x, a total order) are exact —
+    the only float op is the final reported division. The cross-product
+    fits int64 up to ~3·10⁹ docs per source pair; beyond that, lift to
+    DECIMAL(38,0) or evaluate on a t-digest grid.
+
+    Plan: per-source histograms (map-side combined) → cumulative counts
+    via per-source ordered windows over the value GRID (sources ×
+    distinct values — cardinality is distinct-value-bounded, not
+    row-bounded) → pair join on x → windowed max + argmax. At 100 TB
+    the grid stays small for integer-ish features; for continuous ones
+    the same plan runs over sketch quantile boundaries."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("x")
+    )
+    ns = docs.groupBy("source").agg(F.count("*").alias("n"))
+    hist = docs.groupBy("source", "x").agg(F.count("*").alias("cnt"))
+    xs = docs.select("x").distinct()
+    grid = ns.crossJoin(xs)
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        grid.join(hist, ["source", "x"], "left")
+        .withColumn("c", F.sum(F.coalesce("cnt", F.lit(0))).over(wc))
+        .select("source", "n", "x", "c")
+    )
+    a = cum.select(
+        F.col("source").alias("source_a"),
+        F.col("n").alias("n_a"),
+        "x",
+        F.col("c").alias("c_a"),
+    )
+    b = cum.select(
+        F.col("source").alias("source_b"),
+        F.col("n").alias("n_b"),
+        "x",
+        F.col("c").alias("c_b"),
+    )
+    num = (
+        a.join(b, "x")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .withColumn("num", F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")))
+    )
+    wm = Window.partitionBy("source_a", "source_b")
+    w = num.withColumn("mx", F.max("num").over(wm))
+    return w.groupBy("source_a", "source_b", "n_a", "n_b", "mx").agg(
+        F.min(F.when(F.col("num") == F.col("mx"), F.col("x"))).cast("long").alias(
+            "ks_at_value"
+        )
+    ).select(
+        "source_a",
+        "source_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("mx").cast("double") / (F.col("n_a") * F.col("n_b")), 6).alias(
+            "ks_stat"
+        ),
+        "ks_at_value",
+    )
+
+
+@query(
+    "stats_gini_tokens",
+    oracle="""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+  FROM documents
+),
+r AS (
+  SELECT source, x,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS i
+  FROM t
+),
+g AS (
+  SELECT source, COUNT(*) AS n, SUM(x) AS tot, SUM(i * x) AS s1
+  FROM r GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(tot AS BIGINT) AS sum_tokens,
+       round(CAST(2 * s1 - (n + 1) * tot AS DOUBLE) / (n * tot), 6) AS gini
+FROM g
+""",
+)
+def stats_gini_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length (token count) within each
+    source — the inequality diagnostic a curation pipeline reads before
+    sampling (gini → 1: a few huge documents carry the source, so
+    doc-uniform sampling and token-uniform sampling diverge badly).
+
+    Computed from the sorted-rank identity
+    G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) with ranks from a per-source
+    window ordered by (x, doc_id) — tied lengths permute freely without
+    changing Σ i·xᵢ, so the statistic is deterministic and every term
+    is exact int64 (Σ i·x fits to ~10⁹ docs/source; DECIMAL(38,0)
+    beyond). One shuffle on source for the rank window (linear per-key
+    scan), then a map-side-combined aggregate; the only float op is the
+    final division."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).cast("long").alias("x")
+    )
+    wr = Window.partitionBy("source").orderBy("x", "doc_id")
+    r = docs.withColumn("i", F.row_number().over(wr))
+    g = r.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("tot"),
+        F.sum(F.col("i") * F.col("x")).alias("s1"),
+    )
+    return g.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("tot").cast("long").alias("sum_tokens"),
+        F.round(
+            (2 * F.col("s1") - (F.col("n") + 1) * F.col("tot")).cast("double")
+            / (F.col("n") * F.col("tot")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "stats_chi2_independence",
+    oracle="""
+WITH cells AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY source, lang
+),
+margins AS (
+  SELECT source, SUM(o) AS rt FROM cells GROUP BY source
+),
+colm AS (
+  SELECT lang, SUM(o) AS ct FROM cells GROUP BY lang
+),
+tot AS (SELECT SUM(o) AS n FROM cells),
+terms AS (
+  SELECT CAST(ROUND(
+           ((CAST(c.o AS DOUBLE) - (CAST(m.rt AS DOUBLE) * ct.ct) / t.n)
+            * (CAST(c.o AS DOUBLE) - (CAST(m.rt AS DOUBLE) * ct.ct) / t.n))
+           / ((CAST(m.rt AS DOUBLE) * ct.ct) / t.n), 9) AS DECIMAL(28,9)) AS term
+  FROM cells c
+  JOIN margins m ON c.source = m.source
+  JOIN colm ct ON c.lang = ct.lang
+  CROSS JOIN tot t
+)
+SELECT CAST(t.n AS BIGINT) AS n_docs,
+       CAST((SELECT COUNT(*) FROM margins) AS INT) AS n_sources,
+       CAST((SELECT COUNT(*) FROM colm) AS INT) AS n_langs,
+       CAST(((SELECT COUNT(*) FROM margins) - 1)
+            * ((SELECT COUNT(*) FROM colm) - 1) AS INT) AS dof,
+       ROUND(CAST((SELECT SUM(term) FROM terms) AS DOUBLE), 6) AS chi2
+FROM tot t
+""",
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between `source` and
+    `lang` over the corpus — the standard drift/bias monitor for a
+    multi-source crawl mix (is language distribution independent of
+    source, or did one feed's composition shift?). Completes the
+    monitoring-stats family: KS compares a continuous measure across
+    source pairs (stats_ks_source), this tests two categoricals
+    jointly.
+
+    Shape: ONE map-side-combined groupBy collapses the corpus to the
+    sources × langs contingency table (≤ tens of cells at any data
+    size); margins and the grand total re-aggregate that tiny frame —
+    the raw table is scanned exactly once, everything after is
+    broadcast-joined KB-sized metadata. Determinism: expected counts
+    and per-cell terms are double arithmetic with identical
+    parenthesization in both engines (each op a single correctly-
+    rounded IEEE step), the term is rounded to 9 dp and summed in
+    exact DECIMAL (order-independent), and the statistic is published
+    at 6 dp — the same decimal-accumulation device as
+    text_entropy_quality."""
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    margins = cells.groupBy("source").agg(F.sum("o").alias("rt"))
+    colm = cells.groupBy("lang").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"), F.count("*").alias("n_cells"))
+    e = (F.col("rt").cast("double") * F.col("ct")) / F.col("n")
+    term = F.round(
+        ((F.col("o").cast("double") - e) * (F.col("o").cast("double") - e)) / e, 9
+    ).cast("decimal(28,9)")
+    joined = (
+        cells.join(F.broadcast(margins), "source")
+        .join(F.broadcast(colm), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    ns = margins.agg(F.count("*").alias("n_sources"))
+    nl = colm.agg(F.count("*").alias("n_langs"))
+    return (
+        joined.groupBy("n")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("chi2"))
+        .crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(nl))
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("n_sources").cast("int").alias("n_sources"),
+            F.col("n_langs").cast("int").alias("n_langs"),
+            ((F.col("n_sources") - 1) * (F.col("n_langs") - 1))
+            .cast("int")
+            .alias("dof"),
+            "chi2",
+        )
+    )
+
+
+@query(
+    "stats_token_deciles",
+    oracle="""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+  FROM documents
+),
+r AS (
+  SELECT source, x,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM t
+)
+SELECT source, CAST(d.d AS INT) AS decile, CAST(x AS BIGINT) AS cut_tokens
+FROM r, range(1, 10) d(d)
+WHERE rn = CAST(ceil(d.d * n / 10.0) AS BIGINT)
+""",
+)
+def stats_token_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-source decile cut-points of document token length by
+    the nearest-rank definition (cut_d = value at rank ceil(d*n/10)) —
+    the distribution profile behind packing-length and truncation
+    decisions, where the approximate-quantile sketch
+    (agg_approx_quantiles) is not defensible because downstream
+    thresholds get hard-coded from it. Exactness costs one per-source
+    rank window (hash-partitioned by source, linear per key — never a
+    global sort); the 9-way decile fan-out is a broadcast of a 9-row
+    literal range against the already-ranked frame, and only the 9
+    matching rows per source survive the filter. Nearest-rank picks an
+    ACTUAL data value (no interpolation), so both engines agree
+    exactly, with doc_id breaking ties inside equal lengths without
+    affecting the selected value."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).cast("long").alias("x")
+    )
+    w = Window.partitionBy("source").orderBy("x", "doc_id")
+    wn = Window.partitionBy("source")
+    r = docs.select(
+        "source",
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    return (
+        r.crossJoin(F.broadcast(deciles))
+        .filter(
+            F.col("rn")
+            == F.ceil(F.col("decile") * F.col("n") / F.lit(10.0)).cast("long")
+        )
+        .select("source", "decile", F.col("x").alias("cut_tokens"))
+    )
+
+
+_ZIPF_TOP = 100
+
+
+@query(
+    "stats_zipf_slope",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY token
+),
+ranked AS (
+  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, token ASC) AS r
+  FROM freq
+),
+top AS (
+  SELECT log10(CAST(r AS DOUBLE)) AS x, log10(CAST(f AS DOUBLE)) AS y
+  FROM ranked WHERE r <= {_ZIPF_TOP}
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM top
+)
+SELECT n AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS zipf_intercept
+FROM s
+""",
+)
+def stats_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus unigram distribution: least-squares
+    slope (and intercept) of log10(frequency) against log10(rank) for
+    the top terms — the single-number corpus-health check (natural text
+    sits near slope −1; template/boilerplate floods flatten it, OCR
+    noise steepens the tail). Shape: one map-side-combined token count
+    (the only corpus-sized shuffle), top-100 by frequency via
+    orderBy().limit() — TakeOrderedAndProject, never a global sort —
+    then the closed-form normal-equation slope over ≤100 rows with the
+    identical parenthesization on both engines; ranks are exact
+    integers with a token tie-break, logs/sums run over a bounded frame
+    so double reassociation stays under the 6-dp rounding. At 100 TB
+    the fit frame is still 100 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    top = freq.orderBy(F.col("f").desc(), F.col("token").asc()).limit(_ZIPF_TOP)
+    w = Window.orderBy(F.col("f").desc(), F.col("token").asc())
+    xy = top.select(
+        F.log10(F.row_number().over(w).cast("double")).alias("x"),
+        F.log10(F.col("f").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+    )

@@ -73,8 +73,10 @@ def load_all() -> None:
         selections,
         similarity,
         sorting,
+        stats,
         streaming_shaped,
         text_analysis,
+        tpch,
         udfs,
         windows,
     )
