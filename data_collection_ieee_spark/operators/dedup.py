@@ -1339,3 +1339,215 @@ def connected_components(
         # before releasing.
         _track_final_checkpoint(ckpt)
     return labels
+
+
+# ---------------------------------------------------------------------------
+# incremental cross-snapshot dedup (round 7, VERDICT r6 item 3)
+
+_INCR_NEW_MOD = 5  # doc_id % 5 == 4 → the "new batch" (~20% of the corpus);
+# stand-in for the arrival-date predicate a daily crawl would use
+# (reference analogue: the append-across-runs accumulation A11,
+# reference main.py:109 — each run's rows land on top of prior runs').
+
+
+def _incremental_parts(spark: SparkSession, sf_dir: str):
+    """Shared internals of `dedup_incremental_snapshot`, exposed so the
+    pytest can assert the candidate-generation restriction directly:
+    returns (members, groups, left_postings, right_postings).
+
+    `members` is one row per ≥3-token doc with its exact-content group
+    (thash), group representative (min doc_id), shingle count and
+    is_new flag; `left_postings` carries ONLY the representatives of
+    DIRTY groups (groups containing ≥1 new doc) — the old×old corpus
+    mass never enters the candidate join's left side."""
+    sh = _shingles_df(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    members = sh.join(
+        docs.select("doc_id", F.md5(F.encode("text", "UTF-8")).alias("thash")),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "thash",
+        F.size("hs").cast("long").alias("n"),
+        (F.col("doc_id") % _INCR_NEW_MOD == _INCR_NEW_MOD - 1).alias("is_new"),
+    )
+    groups = members.groupBy("thash").agg(
+        F.min("doc_id").alias("rep"),
+        F.max(F.col("is_new").cast("int")).alias("dirty"),
+        F.min("n").alias("n"),  # identical text ⇒ identical shingle count
+    )
+    members = persist_tracked(
+        members.join(groups.select("thash", "rep", "dirty"), "thash")
+    )
+    rep_sh = sh.join(
+        groups.select(F.col("rep").alias("doc_id"), "dirty"), "doc_id"
+    )
+    postings = rep_sh.select("doc_id", "dirty", F.explode("hs").alias("h"))
+    left = postings.filter(F.col("dirty") == 1).select(
+        F.col("doc_id").alias("l_id"), "h"
+    )
+    right = postings.select(
+        F.col("doc_id").alias("r_id"), F.col("dirty").alias("r_dirty"), "h"
+    )
+    return members, groups, left, right
+
+
+@query(
+    "dedup_incremental_snapshot",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+th AS (SELECT doc_id, md5(text) AS thash FROM documents),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         len(list_intersect(a.shingles, b.shingles)) AS inter,
+         len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)) AS uni
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE a.doc_id % {_INCR_NEW_MOD} = {_INCR_NEW_MOD - 1}
+     OR b.doc_id % {_INCR_NEW_MOD} = {_INCR_NEW_MOD - 1}
+)
+SELECT p.a_id, p.b_id,
+       CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni,
+       round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard,
+       CASE WHEN ta.thash = tb.thash THEN 'exact' ELSE 'near' END AS pair_kind,
+       CASE WHEN p.a_id % {_INCR_NEW_MOD} = {_INCR_NEW_MOD - 1}
+             AND p.b_id % {_INCR_NEW_MOD} = {_INCR_NEW_MOD - 1}
+            THEN 'new_new' ELSE 'new_old' END AS pair_scope
+FROM pairs p
+JOIN th ta ON p.a_id = ta.doc_id
+JOIN th tb ON p.b_id = tb.doc_id
+WHERE 100 * inter >= {JACCARD_THRESHOLD_PCT} * uni
+""",
+)
+def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot dedup — the daily-crawl primitive:
+    given an existing corpus snapshot ("old", doc_id % 5 ≠ 4) and a new
+    batch ("new", doc_id % 5 == 4), emit EXACTLY the qualifying
+    duplicate pairs (trigram Jaccard ≥ 0.8, both docs ≥3 tokens) that
+    TOUCH the new batch — without ever pairing snapshot grams against
+    snapshot grams. Output is provably equal to the full-corpus
+    `dedup_ngram_jaccard` restricted to pairs with a new side
+    (pytest-verified), plus pair_kind (exact text copy vs near) and
+    pair_scope (new_new vs new_old) labels.
+
+    Plan — anti-old×old by construction, in three stages:
+
+    1. EXACT grouping: one narrow hash-agg over md5(text) groups
+       byte-identical docs (the dominant mass of a crawl's re-fetches);
+       same-group pairs with ≥1 new side are emitted directly with
+       inter = uni = |shingles| — no postings work at all for exact
+       copies.
+    2. NEAR candidates over REPRESENTATIVES only: the shingle postings
+       self-join's LEFT side is restricted to representatives of DIRTY
+       groups (≥1 new member) — |left| ≈ |new batch| ≪ |corpus| — and
+       the right side is all representatives, so candidate volume is
+       Σ_h df_dirty(h)·df(h), never the snapshot's df², and identical
+       text is paired once however many copies exist. Orientation
+       keeps (dirty, clean) always and (dirty, dirty) once via l < r.
+    3. EXPANSION: qualifying representative pairs fan back out to
+       member pairs through two small rep→members joins (identical
+       text ⇒ identical shingle sets ⇒ identical inter/uni), filtered
+       to ≥1 new side and canonically ordered.
+
+    At 100 TB the snapshot side contributes postings only where a NEW
+    doc shares a shingle — the incremental cost profile (∝ new batch ×
+    collision breadth) that makes daily dedup affordable, vs re-pairing
+    the whole corpus. The % 5 split is a fixture stand-in for the
+    arrival-date predicate; the reference's analogue is its
+    append-across-runs accumulation (reference main.py:109)."""
+    members, groups, left, right = _incremental_parts(spark, sf_dir)
+
+    # stage 1: same-group (exact-copy) pairs
+    m1 = members.select(
+        "thash",
+        F.col("doc_id").alias("x"),
+        F.col("is_new").alias("x_new"),
+        "n",
+    )
+    m2 = members.select(
+        "thash", F.col("doc_id").alias("y"), F.col("is_new").alias("y_new")
+    )
+    exact_pairs = (
+        m1.join(m2, "thash")
+        .filter((F.col("x") < F.col("y")) & (F.col("x_new") | F.col("y_new")))
+        .select(
+            F.col("x").alias("a_id"),
+            F.col("y").alias("b_id"),
+            F.col("n").alias("inter"),
+            F.col("n").alias("uni"),
+            F.lit("exact").alias("pair_kind"),
+        )
+    )
+
+    # stage 2: cross-group near pairs over dirty-left representatives
+    rep_inter = (
+        left.join(right, "h")
+        .filter(
+            (F.col("l_id") != F.col("r_id"))
+            & ((F.col("r_dirty") == 0) | (F.col("l_id") < F.col("r_id")))
+        )
+        .groupBy("l_id", "r_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    rep_pairs = (
+        rep_inter.join(
+            groups.select(F.col("rep").alias("l_id"), F.col("n").alias("n_l")),
+            "l_id",
+        )
+        .join(
+            groups.select(F.col("rep").alias("r_id"), F.col("n").alias("n_r")),
+            "r_id",
+        )
+        .withColumn("uni", F.col("n_l") + F.col("n_r") - F.col("inter"))
+        .filter(100 * F.col("inter") >= JACCARD_THRESHOLD_PCT * F.col("uni"))
+        .select("l_id", "r_id", "inter", "uni")
+    )
+
+    # stage 3: expand representative pairs to member pairs (≥1 new side)
+    mem = members.select(
+        "rep", F.col("doc_id").alias("m"), F.col("is_new").alias("m_new")
+    )
+    near_pairs = (
+        rep_pairs.join(
+            mem.select(
+                F.col("rep").alias("l_id"),
+                F.col("m").alias("x"),
+                F.col("m_new").alias("x_new"),
+            ),
+            "l_id",
+        )
+        .join(
+            mem.select(
+                F.col("rep").alias("r_id"),
+                F.col("m").alias("y"),
+                F.col("m_new").alias("y_new"),
+            ),
+            "r_id",
+        )
+        .filter(F.col("x_new") | F.col("y_new"))
+        .select(
+            F.least("x", "y").alias("a_id"),
+            F.greatest("x", "y").alias("b_id"),
+            "inter",
+            "uni",
+            F.lit("near").alias("pair_kind"),
+        )
+    )
+
+    both = exact_pairs.unionByName(near_pairs)
+    one_new = F.lit(_INCR_NEW_MOD - 1)
+    return both.select(
+        "a_id",
+        "b_id",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("uni").cast("long").alias("uni"),
+        F.round(F.col("inter").cast("double") / F.col("uni"), 4).alias("jaccard"),
+        "pair_kind",
+        F.when(
+            (F.col("a_id") % _INCR_NEW_MOD == one_new)
+            & (F.col("b_id") % _INCR_NEW_MOD == one_new),
+            F.lit("new_new"),
+        )
+        .otherwise(F.lit("new_old"))
+        .alias("pair_scope"),
+    )

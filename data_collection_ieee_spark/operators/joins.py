@@ -681,3 +681,78 @@ def join_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.least("en_a", "en_b") - ovl_st).alias("overlap_us"),
         )
     )
+
+
+_DPP_REGION = "ASIA"
+
+
+@query(
+    "join_partition_pruned",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{_DPP_REGION}'
+GROUP BY n.n_name
+""",
+)
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP) star join — the 100 TB pattern
+    `scan_partition_pruned` only shows statically: the fact side
+    (customer) is laid out partitioned BY THE JOIN KEY (c_nationkey,
+    one directory per nation), and the selective filter lives on the
+    DIM side (nation⋈region, r_name = 'ASIA'), so no static partition
+    filter exists at plan time. Catalyst inserts a
+    `dynamicpruningexpression(c_nationkey IN subquery#…)` into the
+    fact scan's PartitionFilters: at runtime the broadcast of the
+    filtered dim doubles as the pruning subquery, and only the ~5
+    matching nation directories are ever listed or read —
+    tools/plan_audit.py asserts the dynamicpruning node, and the
+    pytest asserts results match the unpartitioned plan.
+
+    The partitioned copy is materialized once per testdata generation
+    (mtime+size-keyed like join_bucketed's bucketed tables): pay the
+    clustered write once, prune on every star join thereafter."""
+    import os
+    import tempfile
+
+    st = os.stat(f"{sf_dir}/customer.parquet")
+    sf_part = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "dcis_scratch",
+        f"cust_by_nation_{sf_part}_{st.st_mtime_ns}_{st.st_size}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "customer")
+            .write.mode("overwrite")
+            .partitionBy("c_nationkey")
+            .parquet(path)
+        )
+    fact = spark.read.parquet(path)
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    dim = (
+        na.join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .filter(F.col("r_name") == _DPP_REGION)
+        .select("n_nationkey", "n_name")
+    )
+    from data_collection_ieee_spark.functions.exact import dsum
+
+    return (
+        fact.join(
+            F.broadcast(dim), fact.c_nationkey == dim.n_nationkey, "inner"
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("sum_acctbal"),
+        )
+        .select(
+            F.col("n_name").alias("nation"), "n_customers", "sum_acctbal"
+        )
+    )

@@ -135,6 +135,14 @@ def audit_one(name: str, df) -> tuple[list[str], str]:
     if name == "sim_knn_join" and "FlatMapCoGroupsInPandas" not in txt:
         flags.append("KNN_NO_COGROUP")
 
+    # join_partition_pruned exists to demonstrate dynamic partition
+    # pruning: its fact scan must carry a dynamicpruningexpression in
+    # PartitionFilters (the runtime subquery fed by the filtered dim).
+    # Its absence means the layout or join shape regressed to a
+    # full-corpus scan.
+    if name == "join_partition_pruned" and "dynamicpruning" not in txt.lower():
+        flags.append("NO_DPP")
+
     return flags, txt
 
 
