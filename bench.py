@@ -133,5 +133,38 @@ def main() -> None:
     print(json.dumps(summary, separators=(",", ":")), flush=True)
 
 
+def check(bench_path: str | None = None) -> int:
+    """The 2x rule against the canonical frozen table: compare a bench
+    run (default: bench_out.json, i.e. the last `python bench.py` run)
+    per-query against BASELINE_FROZEN.json (generated from BASELINE.md
+    by tools/freeze_baseline.py — regenerate after appending freezes).
+    Exit 1 if any matched query exceeds 2x its freeze."""
+    import statistics
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    frozen = json.load(open(os.path.join(root, "BASELINE_FROZEN.json")))["frozen"]
+    bench = json.load(open(bench_path or os.path.join(root, "bench_out.json")))
+    per_query = bench["queries"]
+    ratios = {q: per_query[q] / frozen[q] for q in per_query if q in frozen}
+    unmatched = sorted(q for q in per_query if q not in frozen)
+    over = {q: round(r, 2) for q, r in ratios.items() if r > 2.0}
+    print(
+        f"checked {len(ratios)}/{len(per_query)} queries against "
+        f"{len(frozen)} freezes; median ratio "
+        f"{statistics.median(ratios.values()):.3f}, worst "
+        f"{max(ratios.values()):.2f} ({max(ratios, key=ratios.get)})"
+    )
+    if unmatched:
+        print(f"not yet frozen ({len(unmatched)}): {unmatched}")
+    if over:
+        print(f"OVER 2x: {over}")
+        return 1
+    print("2x rule: OK")
+    return 0
+
+
 if __name__ == "__main__":
+    if "--check" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--check"]
+        sys.exit(check(args[0] if args else None))
     main()

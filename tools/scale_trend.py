@@ -66,10 +66,26 @@ def main() -> int:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--big", default="/tmp/dcis_scale/sf1")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--label",
+        default=None,
+        help="decade label in SCALE_TREND.json (default '<base>-><big>')",
+    )
     args = ap.parse_args()
 
     manifest = json.load(open(os.path.join(args.big, "MANIFEST.json")))
     factor = manifest["factor"]
+    base_manifest_path = os.path.join(args.base, "MANIFEST.json")
+    if os.path.exists(base_manifest_path):
+        # both ends generated: the decade factor is the ratio of the
+        # two generation factors (e.g. sf1(x10) -> sf10(x100) = x10)
+        factor = factor / json.load(open(base_manifest_path))["factor"]
+        factor = int(factor) if factor == int(factor) else factor
+    label = args.label or (
+        os.path.basename(args.base.rstrip("/"))
+        + "->"
+        + os.path.basename(args.big.rstrip("/"))
+    )
 
     registry.load_all()
     names = (
@@ -96,8 +112,14 @@ def main() -> int:
             )
         catalog.release_caches()
 
-    print(f"\n{'query':26} {'sf0.1':>8} {'sfN':>8} {'ratio':>7}  (data x{factor})")
-    out = {"factor": factor, "reps": args.reps, "queries": {}}
+    print(f"\n{'query':26} {'base':>8} {'big':>8} {'ratio':>7}  (data x{factor})")
+    out = {
+        "factor": factor,
+        "reps": args.reps,
+        "base": args.base,
+        "big": args.big,
+        "queries": {},
+    }
     worst = 0.0
     for name in names:
         t1, tn = results[name][args.base], results[name][args.big]
@@ -106,10 +128,25 @@ def main() -> int:
         worst = max(worst, ratio)
         flag = "" if ratio <= factor * 1.3 else "  <-- SUPERLINEAR"
         print(f"{name:26} {t1:8.3f} {tn:8.3f} {ratio:6.2f}x{flag}")
+
+    # merge this decade into SCALE_TREND.json (multi-decade format);
+    # a pre-round-7 flat file is migrated under its decade label
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SCALE_TREND.json"), "w") as f:
-        json.dump(out, f, indent=1)
-    print(f"\nworst ratio {worst:.2f}x vs data x{factor}; SCALE_TREND.json written")
+    trend_path = os.path.join(root, "SCALE_TREND.json")
+    trend = {"decades": {}}
+    if os.path.exists(trend_path):
+        prior = json.load(open(trend_path))
+        if "decades" in prior:
+            trend = prior
+        elif "queries" in prior:  # legacy single-decade layout
+            trend["decades"]["sf0.1->sf1"] = prior
+    trend["decades"][label] = out
+    with open(trend_path, "w") as f:
+        json.dump(trend, f, indent=1)
+    print(
+        f"\nworst ratio {worst:.2f}x vs data x{factor}; "
+        f"SCALE_TREND.json decade '{label}' written"
+    )
     return 0
 
 
