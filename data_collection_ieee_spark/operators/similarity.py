@@ -179,6 +179,15 @@ N_PROBE = 4
 
 @query("sim_ann_ivf")
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k at the default N_PROBE — see
+    `_ann_ivf_impl` for the design and the probe knob (recall-vs-probes
+    curve in tests/test_llm_ops.py and tools/ann_recall.py)."""
+    return _ann_ivf_impl(spark, sf_dir)
+
+
+def _ann_ivf_impl(
+    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE
+) -> DataFrame:
     """IVF approximate top-k (rows-only check; recall vs the exact
     baseline is asserted in tests/test_llm_ops.py).
 
@@ -237,7 +246,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         dtype=np.float64,
     )
     pcos = (cents @ probe_vec) / (cent_norms * np.linalg.norm(probe_vec) + 1e-300)
-    probe_lists = [int(b) for b in np.argsort(-pcos, kind="stable")[:N_PROBE]]
+    probe_lists = [int(b) for b in np.argsort(-pcos, kind="stable")[:n_probe]]
     probe_lit = F.array(*[F.lit(float(x)) for x in probe_vec])
 
     candidates = assigned.filter(
