@@ -55,8 +55,27 @@ STATUSES = ["O", "P", "F"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
-def gen_documents(rng: np.random.Generator, n: int) -> pa.Table:
-    vocab = np.array(VOCAB)
+def scaled_vocab(factor: int) -> list[str]:
+    """Vocabulary for a given scale factor. Up to sf1 (factor 10) this
+    is the fixture's 31 tokens verbatim (keeps the committed sf0.1→sf1
+    decade byte-stable). Beyond that the vocab grows ∝ factor (numbered
+    variants of the base words) so the shingle DOCUMENT-FREQUENCY
+    distribution stays constant across decades — the property real
+    corpora have (vocabulary grows with corpus size; Heaps' law) and
+    the property the trend needs: with the vocab pinned at 31 tokens
+    the ~30k-trigram space saturates and pair-candidate mass grows
+    quadratically in rows as a FIXTURE artifact, which would measure
+    the generator, not the plans."""
+    mult = max(1, factor // 10)
+    if mult == 1:
+        return list(VOCAB)
+    return [f"{w}{i}" if i else w for i in range(mult) for w in VOCAB]
+
+
+def gen_documents(
+    rng: np.random.Generator, n: int, vocab_words: list[str] | None = None
+) -> pa.Table:
+    vocab = np.array(vocab_words if vocab_words is not None else VOCAB)
     lens = rng.integers(10, 100, size=n)
     texts: list[str] = []
     for i in range(n):
@@ -223,8 +242,9 @@ def main() -> int:
             os.path.join(args.out, f"{dim}.parquet"),
         )
         print(f"copied {dim} (fixed cardinality)")
+    vocab_words = scaled_vocab(args.factor)
     for name, gen in (
-        ("documents", gen_documents),
+        ("documents", lambda r, n: gen_documents(r, n, vocab_words)),
         ("embeddings", gen_embeddings),
         ("events", gen_events),
         ("orders", gen_orders),
@@ -248,7 +268,15 @@ def main() -> int:
         sizes[name] = n
         print(f"wrote {name}: {n} rows")
     with open(os.path.join(args.out, "MANIFEST.json"), "w") as f:
-        json.dump({"factor": args.factor, "seed": 42, "rows": sizes}, f)
+        json.dump(
+            {
+                "factor": args.factor,
+                "seed": 42,
+                "rows": sizes,
+                "vocab_size": len(vocab_words),
+            },
+            f,
+        )
     return 0
 
 

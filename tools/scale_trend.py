@@ -43,6 +43,7 @@ DEFAULT_QUERIES = [
     "dedup_simhash",
     "dedup_embed_cosine",
     "dedup_cluster_assign",
+    "dedup_semantic_keep",
     "dedup_substring_exact",
     "dedup_within_watermark",
     "sim_knn_join",
