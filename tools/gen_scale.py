@@ -66,10 +66,22 @@ def scaled_vocab(factor: int) -> list[str]:
     the ~30k-trigram space saturates and pair-candidate mass grows
     quadratically in rows as a FIXTURE artifact, which would measure
     the generator, not the plans."""
-    mult = max(1, factor // 10)
-    if mult == 1:
+    if factor <= 10:
         return list(VOCAB)
-    return [f"{w}{i}" if i else w for i in range(mult) for w in VOCAB]
+    # trigram SPACE grows with the CUBE of vocab size, so holding the
+    # per-shingle document frequency constant across a decade needs the
+    # space ∝ rows ⇒ vocab multiplier = (factor/10)^(1/3) (≈2.15 for
+    # sf1→sf10: 31 → 66 tokens). A ×10 vocab would overshoot the space
+    # ×1000 and collapse df to ~1 — as wrong (in the fast direction)
+    # as the saturated 31-token df≈900.
+    mult = (factor / 10) ** (1.0 / 3.0)
+    target = max(len(VOCAB) + 1, round(len(VOCAB) * mult))
+    out = list(VOCAB)
+    i = 1
+    while len(out) < target:
+        out.extend(f"{w}{i}" for w in VOCAB)
+        i += 1
+    return out[:target]
 
 
 def gen_documents(

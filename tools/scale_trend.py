@@ -119,6 +119,8 @@ def main() -> int:
         "reps": args.reps,
         "base": args.base,
         "big": args.big,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
         "queries": {},
     }
     worst = 0.0

@@ -1,0 +1,140 @@
+"""Work-growth normalization for the intrinsically-pairwise trend
+queries (round 7; the methodology precedent is round 6's
+dedup_simhash output-growth measurement — measure the denominator,
+don't assert it).
+
+Two operators' TOTAL work is not linear in rows by CONTRACT, so their
+decade time ratio must be read against measured WORK growth, not row
+growth:
+
+- `sim_knn_join`: the fixture derives the query set from the corpus
+  (every 50th vec_id), so scoring work = |queries| × |base| ∝ N². A
+  production workload holds Q fixed; per-(query,base-row) work is the
+  honest unit.
+- `dedup_embed_cosine` (and `dedup_semantic_keep`, which composes it):
+  exact all-pairs threshold search. The triangle-inequality list prune
+  is exactness-preserving, and on CLUSTERED corpora (the real dedup
+  case) it removes most list pairs — but the generated fixture
+  embeddings are isotropic standard normals (no planted structure), so
+  at cos ≥ 0.45 (θ ≈ 63°) essentially no list pair is prunable and the
+  admissible block volume stays ≈ N²/2. This tool REPLICATES the
+  operator's centroid/radius/prune arithmetic in numpy and reports the
+  admissible volume Σ|Li|·|Lj| at both scales — the true work measure.
+
+Writes per-query {work_ratio, work_unit, time_per_work_ratio} into the
+given decade of SCALE_TREND.json. time_per_work_ratio ≤ ~1.3 means the
+plan is linear in its work; > that is a real plan bug.
+
+Usage: python tools/trend_worknorm.py [--base sf1dir] [--big sf10dir]
+       [--label sf1->sf10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+
+KNN_QMOD = 50  # operators/similarity.py _KNN_QMOD
+N_LISTS = 16  # operators/dedup.py _embed_cosine_pairs
+COS_THR = 0.45  # operators/dedup.py COSINE_DUP_THRESHOLD
+
+
+def load_emb(sf_dir: str):
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    vec_id = t["vec_id"].to_numpy()
+    emb = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    return vec_id, emb
+
+
+def knn_work(vec_id: np.ndarray) -> int:
+    q = int((vec_id % KNN_QMOD == 0).sum())
+    return q * (len(vec_id) - q)
+
+
+def embed_cosine_work(vec_id: np.ndarray, emb: np.ndarray) -> int:
+    """Admissible sub-block volume Σ|Li||Lj| with the operator's exact
+    centroid / radius / triangle-inequality arithmetic (block
+    subdivision does not change the volume, so it is ignored)."""
+    buckets = (vec_id % N_LISTS).astype(int)
+    cents = np.zeros((N_LISTS, emb.shape[1]))
+    for b in range(N_LISTS):
+        m = emb[buckets == b]
+        if len(m):
+            cents[b] = m.mean(axis=0)
+    cent_norms = np.linalg.norm(cents, axis=1) + 1e-300
+    cos = (emb @ cents.T) / (
+        np.linalg.norm(emb, axis=1)[:, None] * cent_norms[None, :] + 1e-300
+    )
+    list_id = cos.argmax(axis=1)
+    own = cos.max(axis=1)
+    sizes = np.bincount(list_id, minlength=N_LISTS)
+    radius = np.zeros(N_LISTS)
+    for lst in range(N_LISTS):
+        o = own[list_id == lst]
+        radius[lst] = np.arccos(np.clip(o.min(), -1, 1)) if len(o) else 0.0
+    theta = np.arccos(COS_THR)
+    cc = (cents @ cents.T) / np.outer(cent_norms, cent_norms)
+    vol = 0
+    live = [lst for lst in range(N_LISTS) if sizes[lst]]
+    for a_i, i in enumerate(live):
+        for j in live[a_i:]:
+            ang = float(np.arccos(np.clip(cc[i, j], -1, 1)))
+            if ang > theta + radius[i] + radius[j]:
+                continue
+            vol += int(sizes[i]) * int(sizes[j]) if i != j else int(
+                sizes[i]
+            ) * (int(sizes[i]) - 1) // 2
+    return vol
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/tmp/dcis_scale/sf1")
+    ap.add_argument("--big", default="/tmp/dcis_scale/sf10")
+    ap.add_argument("--label", default="sf1->sf10")
+    args = ap.parse_args()
+
+    works: dict[str, dict[str, float]] = {}
+    for tag, sf_dir in (("base", args.base), ("big", args.big)):
+        vec_id, emb = load_emb(sf_dir)
+        works.setdefault("sim_knn_join", {})[tag] = knn_work(vec_id)
+        vol = embed_cosine_work(vec_id, emb)
+        works.setdefault("dedup_embed_cosine", {})[tag] = vol
+        works.setdefault("dedup_semantic_keep", {})[tag] = vol
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    trend_path = os.path.join(root, "SCALE_TREND.json")
+    trend = json.load(open(trend_path))
+    decade = trend["decades"][args.label]
+    unit = {
+        "sim_knn_join": "query x base-row scores (Q grows with N by fixture contract)",
+        "dedup_embed_cosine": "admissible block volume sum(|Li|*|Lj|) after the exact triangle prune (isotropic fixture: prune cannot bite)",
+        "dedup_semantic_keep": "same volume as dedup_embed_cosine (it composes that kernel + linear CC)",
+    }
+    for name, w in works.items():
+        if name not in decade["queries"]:
+            continue
+        entry = decade["queries"][name]
+        work_ratio = w["big"] / w["base"]
+        entry["work_base"] = int(w["base"])
+        entry["work_big"] = int(w["big"])
+        entry["work_ratio"] = round(work_ratio, 2)
+        entry["time_per_work_ratio"] = round(entry["ratio"] / work_ratio, 3)
+        entry["work_unit"] = unit[name]
+        print(
+            f"{name:24} time {entry['ratio']:6.2f}x  work {work_ratio:6.2f}x"
+            f"  time/work {entry['time_per_work_ratio']:.3f}"
+        )
+    with open(trend_path, "w") as f:
+        json.dump(trend, f, indent=1)
+    print("SCALE_TREND.json annotated")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
