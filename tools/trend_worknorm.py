@@ -39,6 +39,8 @@ import sys
 import numpy as np
 import pyarrow.parquet as pq
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 KNN_QMOD = 50  # operators/similarity.py _KNN_QMOD
 N_LISTS = 16  # operators/dedup.py _embed_cosine_pairs
 COS_THR = 0.45  # operators/dedup.py COSINE_DUP_THRESHOLD
@@ -92,11 +94,46 @@ def embed_cosine_work(vec_id: np.ndarray, emb: np.ndarray) -> int:
     return vol
 
 
+def shingle_candidate_mass(sf_dir: str) -> int:
+    """Candidate volume of the postings count-join, Σ_h C(df_h, 2) —
+    the exact row count the shingle self-join emits (before the a<b
+    halving it is 2x this). One cheap Spark aggregate over the shared
+    shingle frame; linear in postings."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import functions as F
+
+    from data_collection_ieee_spark.operators.dedup import _shingles_df
+    from data_collection_ieee_spark.session import get_spark
+
+    spark = get_spark("trend-worknorm")
+    df = (
+        _shingles_df(spark, sf_dir)
+        .select(F.explode("hs").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .agg(F.sum(F.expr("df * (df - 1) DIV 2")).alias("mass"))
+        .first()["mass"]
+    )
+    return int(df)
+
+
+SHINGLE_QUERIES = (
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_cluster_assign",
+)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/tmp/dcis_scale/sf1")
     ap.add_argument("--big", default="/tmp/dcis_scale/sf10")
     ap.add_argument("--label", default="sf1->sf10")
+    ap.add_argument(
+        "--shingles",
+        action="store_true",
+        help="also measure the shingle-family candidate mass (needs Spark)",
+    )
     args = ap.parse_args()
 
     works: dict[str, dict[str, float]] = {}
@@ -106,6 +143,15 @@ def main() -> int:
         vol = embed_cosine_work(vec_id, emb)
         works.setdefault("dedup_embed_cosine", {})[tag] = vol
         works.setdefault("dedup_semantic_keep", {})[tag] = vol
+    if args.shingles:
+        from data_collection_ieee_spark import catalog, registry
+
+        registry.load_all()
+        for tag, sf_dir in (("base", args.base), ("big", args.big)):
+            mass = shingle_candidate_mass(sf_dir)
+            catalog.release_caches()
+            for q in SHINGLE_QUERIES:
+                works.setdefault(q, {})[tag] = mass
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     trend_path = os.path.join(root, "SCALE_TREND.json")
@@ -115,6 +161,9 @@ def main() -> int:
         "sim_knn_join": "query x base-row scores (Q grows with N by fixture contract)",
         "dedup_embed_cosine": "admissible block volume sum(|Li|*|Lj|) after the exact triangle prune (isotropic fixture: prune cannot bite)",
         "dedup_semantic_keep": "same volume as dedup_embed_cosine (it composes that kernel + linear CC)",
+        "dedup_ngram_jaccard": "postings count-join candidate mass sum_h C(df_h,2)",
+        "dedup_minhash_lsh": "verification candidate mass bounded by the same sum_h C(df_h,2)",
+        "dedup_cluster_assign": "pair-graph construction = the jaccard candidate mass; CC rounds are log-bounded",
     }
     for name, w in works.items():
         if name not in decade["queries"]:
