@@ -143,7 +143,12 @@ def main() -> int:
             trend = prior
         elif "queries" in prior:  # legacy single-decade layout
             trend["decades"]["sf0.1->sf1"] = prior
-    trend["decades"][label] = out
+    if label in trend["decades"] and trend["decades"][label].get("big") == args.big:
+        # same decade re-run on a subset: merge per query, keep the rest
+        trend["decades"][label]["queries"].update(out["queries"])
+        trend["decades"][label]["reps"] = args.reps
+    else:
+        trend["decades"][label] = out
     with open(trend_path, "w") as f:
         json.dump(trend, f, indent=1)
     print(
