@@ -446,32 +446,39 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the same postings count-join as `dedup_ngram_jaccard`'s
     default path (shuffle on 8-byte shingle hashes, map-side combined
     per-pair counts) but WITHOUT the threshold filter, then an 11-row
-    aggregate; the cumulative window runs over those ≤ 11 rows. At
-    100 TB the threshold-free sweep inherits the Σ df² candidate cost
-    with no prefix-filter escape (the prefix theorem needs a τ), so
-    the campaign-scale form runs on a stratified sample
+    aggregate; the cumulative window runs over those ≤ 11 rows. Each
+    posting row CARRIES its document's shingle count, so the pair
+    frame's groupBy aggregates min(n_a)/min(n_b) in the same map-side
+    combine and the pair frame is never joined against anything — the
+    r7 sf1→sf10 trend measured the former size-attach joins shuffling
+    the ~1.1B-row pair frame twice (10.7× decade ratio); carrying 8
+    bytes per posting removes both shuffles. At 100 TB the
+    threshold-free sweep inherits the Σ df² candidate cost with no
+    prefix-filter escape (the prefix theorem needs a τ), so the
+    campaign-scale form runs on a stratified sample
     (`sample_stratified` is the companion operator) — calibration
     needs distribution shape, not the full census."""
     sh = _shingles_df(spark, sf_dir)
-    postings = sh.select("doc_id", F.explode("hs").alias("h"))
-    sizes = sh.select("doc_id", F.size("hs").alias("n"))
-    a = postings.select(F.col("doc_id").alias("a_id"), "h")
-    b = postings.select(F.col("doc_id").alias("b_id"), "h")
-    inter = (
+    postings = sh.select(
+        "doc_id", F.size("hs").alias("n"), F.explode("hs").alias("h")
+    )
+    a = postings.select(
+        F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"), "h"
+    )
+    b = postings.select(
+        F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"), "h"
+    )
+    hist = (
         a.join(b, "h")
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
-    # No broadcast hint: the size tables are CORPUS-sized (one row per
-    # document), not dims — hard-broadcasting them would OOM at 100 TB.
-    # AQE picks broadcast on its own below its threshold and shuffle
-    # above it (same convention as tpch_q14's part join).
-    hist = (
-        inter.join(na, "a_id")
-        .join(nb, "b_id")
+        .agg(
+            F.count("*").alias("inter"),
+            # n_a/n_b are functionally determined by a_id/b_id; min is a
+            # deterministic pick that rides the same map-side combine
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
         .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
         .select(F.expr("CAST((10 * inter) DIV uni AS INT)").alias("jaccard_bucket"))
         .groupBy("jaccard_bucket")
@@ -516,8 +523,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the same postings count-join candidate generation as
     `dedup_ngram_jaccard`'s default path (shuffle on 8-byte shingle
-    hashes, map-side-combined per-pair intersection counts, AQE-chosen
-    size attach — the corpus-sized size tables carry no broadcast hint). The Jaccard prefix-filter escape does NOT transfer:
+    hashes, map-side-combined per-pair intersection counts). Each
+    posting row carries its document's shingle count, so n_a/n_b are
+    min-aggregated inside the same groupBy and the pair frame is never
+    joined against the corpus-sized size tables (the r7 trend measured
+    that size-attach at 17.1× per decade — two shuffles of a ~1.1B-row
+    pair frame). The Jaccard prefix-filter escape does NOT transfer:
     containment has no lower bound on the larger set's size, so the
     prefix theorem's ⌈τ·n⌉ bound only holds for the smaller side. At
     campaign scale the standard moves are (a) df-capping the postings
@@ -526,26 +537,28 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch; both preserve this operator's output contract on the
     surviving candidates."""
     sh = _shingles_df(spark, sf_dir)
-    postings = sh.select("doc_id", F.explode("hs").alias("h"))
-    sizes = sh.select("doc_id", F.size("hs").cast("long").alias("n"))
-    a = postings.select(F.col("doc_id").alias("a_id"), "h")
-    b = postings.select(F.col("doc_id").alias("b_id"), "h")
+    postings = sh.select(
+        "doc_id", F.size("hs").cast("long").alias("n"), F.explode("hs").alias("h")
+    )
+    a = postings.select(
+        F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"), "h"
+    )
+    b = postings.select(
+        F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"), "h"
+    )
     inter = (
         a.join(b, "h")
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
     )
-    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
     m = F.least("n_a", "n_b")
-    # Corpus-sized size tables: no broadcast hint (AQE decides) — see
-    # dedup_threshold_sweep's note; hard-broadcast of an unbounded side
-    # is the 100 TB OOM pattern this repo bans.
     return (
-        inter.join(na, "a_id")
-        .join(nb, "b_id")
-        .filter(100 * F.col("inter") >= CONTAINMENT_THRESHOLD_PCT * m)
+        inter.filter(100 * F.col("inter") >= CONTAINMENT_THRESHOLD_PCT * m)
         .select(
             "a_id",
             "b_id",
@@ -1359,7 +1372,11 @@ def _incremental_parts(spark: SparkSession, sf_dir: str):
     (thash), group representative (min doc_id), shingle count and
     is_new flag; `left_postings` carries ONLY the representatives of
     DIRTY groups (groups containing ≥1 new doc) — the old×old corpus
-    mass never enters the candidate join's left side."""
+    mass never enters the candidate join's left side. Both posting
+    sides carry the representative's shingle count (n_l/n_r) so the
+    candidate groupBy aggregates sizes in its map-side combine and the
+    pair frame is never joined back to `groups` (the r7 trend measured
+    that size-attach at 22.3× per decade)."""
     sh = _shingles_df(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     members = sh.join(
@@ -1382,12 +1399,18 @@ def _incremental_parts(spark: SparkSession, sf_dir: str):
     rep_sh = sh.join(
         groups.select(F.col("rep").alias("doc_id"), "dirty"), "doc_id"
     )
-    postings = rep_sh.select("doc_id", "dirty", F.explode("hs").alias("h"))
+    postings = rep_sh.select(
+        "doc_id", "dirty", F.size("hs").cast("long").alias("n"),
+        F.explode("hs").alias("h"),
+    )
     left = postings.filter(F.col("dirty") == 1).select(
-        F.col("doc_id").alias("l_id"), "h"
+        F.col("doc_id").alias("l_id"), F.col("n").alias("n_l"), "h"
     )
     right = postings.select(
-        F.col("doc_id").alias("r_id"), F.col("dirty").alias("r_dirty"), "h"
+        F.col("doc_id").alias("r_id"),
+        F.col("dirty").alias("r_dirty"),
+        F.col("n").alias("n_r"),
+        "h",
     )
     return members, groups, left, right
 
@@ -1480,23 +1503,17 @@ def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # stage 2: cross-group near pairs over dirty-left representatives
-    rep_inter = (
+    rep_pairs = (
         left.join(right, "h")
         .filter(
             (F.col("l_id") != F.col("r_id"))
             & ((F.col("r_dirty") == 0) | (F.col("l_id") < F.col("r_id")))
         )
         .groupBy("l_id", "r_id")
-        .agg(F.count("*").alias("inter"))
-    )
-    rep_pairs = (
-        rep_inter.join(
-            groups.select(F.col("rep").alias("l_id"), F.col("n").alias("n_l")),
-            "l_id",
-        )
-        .join(
-            groups.select(F.col("rep").alias("r_id"), F.col("n").alias("n_r")),
-            "r_id",
+        .agg(
+            F.count("*").alias("inter"),
+            F.min("n_l").alias("n_l"),
+            F.min("n_r").alias("n_r"),
         )
         .withColumn("uni", F.col("n_l") + F.col("n_r") - F.col("inter"))
         .filter(100 * F.col("inter") >= JACCARD_THRESHOLD_PCT * F.col("uni"))

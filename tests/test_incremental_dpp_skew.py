@@ -89,9 +89,13 @@ def test_incremental_no_old_x_old_candidates(spark, sf_dir):
     assert {r["l_id"] for r in left_rows} <= dirty_reps
     # ~20% of docs are new ⇒ dirty-rep postings ≪ total postings
     assert len(left_rows) < 0.5 * total_postings
-    # and the filter is in the PLAN, not just this materialization
+    # and the filter is in the PLAN, not just this materialization —
+    # assert on the Filter node's condition specifically, not any
+    # projection that merely mentions the column (r7 ADVICE)
+    import re
+
     plan = left._jdf.queryExecution().executedPlan().toString()
-    assert "dirty" in plan
+    assert re.search(r"Filter .*\(dirty#\d+L? = 1\)", plan), plan
 
 
 # ---------------------------------------------------------------------------
