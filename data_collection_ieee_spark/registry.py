@@ -83,6 +83,9 @@ def load_all() -> None:
 
     # Resolve composed oracles now that every module has registered
     # (idempotent: each callable is popped once; results are plain SQL).
-    while _LAZY_ORACLES:
-        qname, thunk = _LAZY_ORACLES.popitem()
+    # Resolution runs in REGISTRATION order so a lazy oracle may read an
+    # earlier lazy oracle's resolved ORACLES entry (r7 ADVICE: popitem()
+    # resolved in arbitrary order, a latent bug with >1 lazy oracle).
+    for qname in list(_LAZY_ORACLES):
+        thunk = _LAZY_ORACLES.pop(qname)
         ORACLES[qname] = thunk().strip()

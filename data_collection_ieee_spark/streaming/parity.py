@@ -87,6 +87,17 @@ def read_events_stream(
                 if chunk.num_rows:
                     pq.write_table(chunk, os.path.join(stage, f"events_{i:03d}.parquet"))
 
+    # FileStreamSource admits files in MODIFICATION-TIME order, and two
+    # files staged back-to-back can tie (or invert under host load), so
+    # without this the micro-batch ORDER is machine-dependent — the one
+    # way a deterministic split still yields a nondeterministic stream
+    # for order-sensitive state (CUSUM). Pin strictly increasing mtimes
+    # in filename order, every call (stage dirs persist across sessions
+    # and may predate this stamping).
+    for i, fname in enumerate(sorted(os.listdir(stage))):
+        t = st.st_mtime + i + 1
+        os.utime(os.path.join(stage, fname), (t, t))
+
     reader = spark.readStream.schema(raw_schema).format("parquet")
     if files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(files_per_trigger))

@@ -143,10 +143,34 @@ def main() -> int:
             trend = prior
         elif "queries" in prior:  # legacy single-decade layout
             trend["decades"]["sf0.1->sf1"] = prior
-    if label in trend["decades"] and trend["decades"][label].get("big") == args.big:
+    stored = trend["decades"].get(label)
+    if stored is not None and stored.get("big") == args.big:
         # same decade re-run on a subset: merge per query, keep the rest
-        trend["decades"][label]["queries"].update(out["queries"])
-        trend["decades"][label]["reps"] = args.reps
+        # — but only when BOTH endpoints match (r7 ADVICE: a --base
+        # mismatch would record ratios from a different decade under
+        # the stored one), and refresh the run-environment metadata so
+        # merged ratios are never attributed to stale conditions; if
+        # the environment differs from the stored run, keep a per-run
+        # history under "env_history" instead of silently overwriting.
+        if stored.get("base") != args.base:
+            raise SystemExit(
+                f"decade '{label}' was recorded with base={stored.get('base')} "
+                f"but this run uses base={args.base}; pass a new --label "
+                "instead of merging across decades"
+            )
+        env = {
+            k: out[k] for k in ("factor", "reps", "shuffle_partitions", "driver_memory")
+        }
+        old_env = {
+            k: stored.get(k)
+            for k in ("factor", "reps", "shuffle_partitions", "driver_memory")
+        }
+        if env != old_env:
+            stored.setdefault("env_history", []).append(
+                {"prev": old_env, "queries_before_rerun": sorted(stored["queries"])}
+            )
+        stored.update(env)
+        stored["queries"].update(out["queries"])
     else:
         trend["decades"][label] = out
     with open(trend_path, "w") as f:
