@@ -573,7 +573,32 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_OVL_BUCKET_S = 3600  # interval-overlap join bucket width (1 hour)
+_OVL_BUCKET_S = 3600  # interval-overlap bucket width CAP (1 hour)
+_OVL_BUCKET_MIN_S = 60  # floor so point-like intervals don't over-shard
+
+
+def _ovl_bucket_width_s(spans, st_col: str = "st_us", en_col: str = "en_us") -> int:
+    """Data-adaptive bucket width for the interval-overlap join,
+    clamped to [1 min, 1 h]. Candidate mass is Σ_b n_b² with
+    n_b ∝ density·(W + mean_len) and T/W buckets, i.e. mass ∝
+    (W + mean_len)²/W — minimized at W = mean interval length. The r7
+    sf10 profile measured why the fixed 1-hour width was the 69.7×
+    decade finding: sessions average 42 s (median 0 — single-event),
+    so W=3600 packed 13.4k sessions per bucket and generated 129.6B
+    candidates for 1.49B result pairs (87:1); W=60 brings that to
+    ~4:1. The extra aggregate is one pass over the session frame —
+    noise next to the quadratic join it right-sizes — and W only
+    affects candidate generation, never the output (the
+    assign-to-one-bucket rule dedupes identically at any width)."""
+    import pyspark.sql.functions as SF
+
+    mean_len = (
+        spans.agg(
+            SF.avg((SF.col(en_col) - SF.col(st_col)) / 1e6).alias("m")
+        ).first()["m"]
+        or 0.0
+    )
+    return int(min(max(_OVL_BUCKET_MIN_S, mean_len), _OVL_BUCKET_S))
 
 
 @query(
@@ -614,7 +639,7 @@ def join_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     30-minute sessions overlap in wall-clock time (concurrency
     analysis: co-active users, contention windows). Distinct from
     `join_theta_range` (point-within-delta): both sides are intervals
-    of arbitrary length, so each interval is decomposed into the 1-hour
+    of arbitrary length, so each interval is decomposed into the time
     buckets it TOUCHES (`sequence` explode), the join runs as a pure
     equi-join on bucket, the exact overlap predicate filters after, and
     the classic assign-to-one-bucket rule — keep the pair only in the
@@ -622,10 +647,17 @@ def join_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     necessarily touch — dedupes multi-bucket pairs WITHOUT a distinct
     shuffle.
 
-    Scale: candidates are Σ_b n_b² over sessions touching each bucket —
-    bucket width tuned to typical interval length keeps n_b bounded by
-    true temporal density (skewed hot hours split further via AQE or a
-    sub-bucket salt). Same-user sessions are disjoint by construction
+    Scale: candidates are Σ_b n_b² over sessions touching each bucket,
+    so the bucket width is derived from the DATA — the mean interval
+    length, clamped to [1 min, 1 h] (`_ovl_bucket_width_s` has the
+    math and the r7 sf10 profile that motivated it). Finer buckets
+    also multiply the join-key count (720 fixed hourly keys at the old
+    width — a reduce-task skew ceiling — become tens of thousands),
+    letting AQE spread the quadratic work. Output is width-invariant;
+    the result is inherently quadratic in co-active density (the sf10
+    output IS 1.49B pairs — at that point the downstream consumer
+    wants the aggregated form, e.g. pairs-per-user rollup, not the
+    pair list). Same-user sessions are disjoint by construction
     (> 30 min apart), so `user_a < user_b` loses nothing."""
     from data_collection_ieee_spark.operators.streaming_shaped import stream_session
 
@@ -637,7 +669,7 @@ def join_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_start",
         "session_end",
     )
-    wus = _OVL_BUCKET_S * 1_000_000
+    wus = _ovl_bucket_width_s(spans) * 1_000_000
     bucketed = spans.withColumn(
         "bucket",
         F.explode(
