@@ -715,6 +715,64 @@ def join_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _overlap_rollup_oracle() -> str:
+    """Composed from join_session_overlap's registered SQL so the
+    rollup can never drift from the pair list it aggregates."""
+    from data_collection_ieee_spark.registry import ORACLES
+
+    return f"""
+WITH pairs AS ({ORACLES["join_session_overlap"]}),
+sides AS (
+  SELECT user_a AS user_id, user_b AS partner, overlap_us FROM pairs
+  UNION ALL
+  SELECT user_b AS user_id, user_a AS partner, overlap_us FROM pairs
+)
+SELECT user_id,
+       CAST(COUNT(DISTINCT partner) AS BIGINT) AS n_partners,
+       CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+       CAST(SUM(overlap_us) AS BIGINT) AS total_overlap_us,
+       CAST(MAX(overlap_us) AS BIGINT) AS max_overlap_us
+FROM sides
+GROUP BY user_id
+"""
+
+
+@query("join_overlap_rollup", oracle=_overlap_rollup_oracle)
+def join_overlap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user co-activity rollup — the 100 TB CONSUMER shape of the
+    interval-overlap join: distinct co-active partners, overlapping
+    session-pair count, and total/max overlap time per user. The r8
+    sf10 profile measured the raw pair list at 1.49 B rows (quadratic
+    in temporal density); this is the linear-output form a monitoring
+    or abuse-detection pipeline actually materializes — the quadratic
+    pair mass exists only transiently inside the shuffle and is
+    map-side-combined into one row per (user, partner side) before the
+    final per-user aggregate. No new scale surface: candidate
+    generation is exactly `join_session_overlap`'s data-adaptive
+    bucket decomposition."""
+    pairs = join_session_overlap(spark, sf_dir)
+    a = pairs.select(
+        F.col("user_a").alias("user_id"),
+        F.col("user_b").alias("partner"),
+        "overlap_us",
+    )
+    b = pairs.select(
+        F.col("user_b").alias("user_id"),
+        F.col("user_a").alias("partner"),
+        "overlap_us",
+    )
+    return (
+        a.unionByName(b)
+        .groupBy("user_id")
+        .agg(
+            F.count_distinct("partner").cast("long").alias("n_partners"),
+            F.count("*").cast("long").alias("n_overlaps"),
+            F.sum("overlap_us").cast("long").alias("total_overlap_us"),
+            F.max("overlap_us").cast("long").alias("max_overlap_us"),
+        )
+    )
+
+
 _DPP_REGION = "ASIA"
 
 

@@ -780,3 +780,101 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("med_us") / F.lit(1e6), 6).alias("median_lag_s"),
         F.round(F.col("p90_us") / F.lit(1e6), 6).alias("p90_lag_s"),
     )
+
+
+_SWEEP_HOUR_US = 3_600_000_000
+
+
+def _concurrency_sweep_oracle() -> str:
+    """Composed from stream_session's registered SQL so the sweep can
+    never drift from the sessionization it profiles."""
+    from data_collection_ieee_spark.registry import ORACLES
+
+    return f"""
+WITH s AS ({ORACLES["stream_session"]}),
+bounds AS (
+  SELECT epoch_us(session_start) AS ts_us, 1 AS delta, user_id, session_seq
+  FROM s
+  UNION ALL
+  SELECT epoch_us(session_end), -1, user_id, session_seq FROM s
+),
+runs AS (
+  SELECT ts_us // {_SWEEP_HOUR_US} AS hour_b, delta,
+         SUM(delta) OVER (ORDER BY ts_us, delta DESC, user_id, session_seq
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run
+  FROM bounds
+)
+SELECT make_timestamp(hour_b * {_SWEEP_HOUR_US}) AS hour_start,
+       CAST(COUNT(*) AS BIGINT) AS n_boundaries,
+       CAST(MAX(run) AS INT) AS peak_concurrency
+FROM runs
+GROUP BY hour_b
+"""
+
+
+@query("events_concurrency_sweep", oracle=_concurrency_sweep_oracle)
+def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour peak session concurrency by interval sweep — the
+    LINEAR-cost companion to `join_session_overlap` (whose pair-list
+    output is quadratic in co-active density): how many sessions were
+    simultaneously open at the busiest instant of each hour. Classic
+    sweep-line: each session contributes +1 at its start and −1 at its
+    end; concurrency is the running sum over the boundary stream.
+
+    Plan — a DISTRIBUTED prefix sum, never a single global sort:
+    1. boundaries get a total order key (ts, +1-before-−1, user,
+       session) whose PREFIX is the hour, so the global running sum
+       decomposes exactly into a per-hour window (hash-partitioned by
+       hour, each task sorts only its hours) plus a per-hour offset;
+    2. the offsets come from one groupBy(hour) sum — the only global
+       step is a cumulative window over the per-hour aggregate, whose
+       row count is the TIME SPAN in hours (720 here, ~10k for a year
+       of 100 TB telemetry), not the data volume;
+    3. peak = offset + max(in-hour running sum), one hash aggregate.
+    +1 sorts before −1 at equal timestamps (inclusive-overlap
+    convention, matching `join_session_overlap`), which also makes the
+    per-hour max invariant to tie order among equal keys: partial sums
+    within an all-+1 (or all-−1) tie group are monotone, so only the
+    group totals — which commute — matter. Peak is read after each
+    boundary (a session ending at the hour's first instant counts into
+    the PRIOR hour's peak: concurrency is sampled post-event on both
+    engines)."""
+    spans = stream_session(spark, sf_dir)
+    starts = spans.select(
+        F.unix_micros("session_start").alias("ts_us"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "session_seq",
+    )
+    ends = spans.select(
+        F.unix_micros("session_end").alias("ts_us"),
+        F.lit(-1).alias("delta"),
+        "user_id",
+        "session_seq",
+    )
+    bounds = starts.unionByName(ends).withColumn(
+        "hour_b", F.expr(f"ts_us DIV {_SWEEP_HOUR_US}")
+    )
+    w_in = (
+        Window.partitionBy("hour_b")
+        .orderBy("ts_us", F.col("delta").desc(), "user_id", "session_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = bounds.withColumn("run_in", F.sum("delta").over(w_in))
+    per_hour = within.groupBy("hour_b").agg(
+        F.count("*").cast("long").alias("n_boundaries"),
+        F.max("run_in").alias("peak_in"),
+        F.sum("delta").alias("d"),
+    )
+    # cumulative offset over the per-hour aggregate: bounded by the
+    # time span in hours, not by data volume (see docstring)
+    w_h = Window.orderBy("hour_b").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        per_hour.withColumn("offset", F.coalesce(F.sum("d").over(w_h), F.lit(0)))
+        .select(
+            F.timestamp_micros(F.col("hour_b") * _SWEEP_HOUR_US).alias("hour_start"),
+            "n_boundaries",
+            (F.col("offset") + F.col("peak_in")).cast("int").alias("peak_concurrency"),
+        )
+    )

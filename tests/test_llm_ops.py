@@ -821,6 +821,68 @@ def test_session_overlap_dedups_multi_bucket_pairs(spark, tmp_path):
     assert r["overlap_us"] == 70 * 60 * 1_000_000
 
 
+def test_overlap_rollup_matches_pair_list(spark, sf_dir):
+    """Independent implementation: a Python dict-fold over the pair
+    list must reproduce the per-user rollup exactly (partner sets,
+    pair counts, total/max overlap)."""
+    pairs = _rows("join_session_overlap", spark, sf_dir)
+    agg = {}
+    for r in pairs:
+        for me, other in ((r["user_a"], r["user_b"]), (r["user_b"], r["user_a"])):
+            a = agg.setdefault(me, {"partners": set(), "n": 0, "tot": 0, "mx": None})
+            a["partners"].add(other)
+            a["n"] += 1
+            a["tot"] += r["overlap_us"]
+            a["mx"] = r["overlap_us"] if a["mx"] is None else max(a["mx"], r["overlap_us"])
+    got = {
+        r["user_id"]: (r["n_partners"], r["n_overlaps"], r["total_overlap_us"], r["max_overlap_us"])
+        for r in _rows("join_overlap_rollup", spark, sf_dir)
+    }
+    expect = {
+        u: (len(a["partners"]), a["n"], a["tot"], a["mx"]) for u, a in agg.items()
+    }
+    assert got == expect
+    assert expect, "fixture corpus has no overlapping sessions"
+
+
+def test_concurrency_sweep_matches_bruteforce(spark, sf_dir):
+    """Independent implementation: a sequential Python sweep over the
+    sessionization operator's own spans (sorted boundary list, running
+    counter, per-hour max) must reproduce the distributed prefix-sum's
+    per-hour peaks and boundary counts exactly."""
+    import calendar
+
+    HOUR_US = 3_600_000_000
+
+    def us(d):
+        # integer epoch-micros from the naive datetime's own fields
+        # (float .timestamp() round-trips can wobble a microsecond)
+        return calendar.timegm(d.timetuple()) * 1_000_000 + d.microsecond
+
+    bounds = []
+    for r in _rows("stream_session", spark, sf_dir):
+        bounds.append((us(r["session_start"]), 1, r["user_id"], r["session_seq"]))
+        bounds.append((us(r["session_end"]), -1, r["user_id"], r["session_seq"]))
+    # +1 before -1 at equal ts: sort key delta DESC
+    bounds.sort(key=lambda b: (b[0], -b[1], b[2], b[3]))
+    run = 0
+    peaks: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    for ts, d, _, _ in bounds:
+        run += d
+        h = ts // HOUR_US
+        counts[h] = counts.get(h, 0) + 1
+        peaks[h] = max(peaks.get(h, run), run)
+    got = {}
+    for r in _rows("events_concurrency_sweep", spark, sf_dir):
+        got[us(r["hour_start"]) // HOUR_US] = (
+            r["n_boundaries"],
+            r["peak_concurrency"],
+        )
+    assert got == {h: (counts[h], peaks[h]) for h in counts}
+    assert run == 0, "sweep must return to zero concurrency"
+
+
 def test_ks_source_matches_python_reference(spark, sf_dir, duck):
     """Independent implementation: per-pair sorted-sample ECDF scan in
     exact Fraction arithmetic must reproduce the KS statistic and its
