@@ -438,7 +438,7 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("price"), F.col("l_extendedprice").cast("double"),
             )
         ).alias("metric", "v"),
-    )
+    ).filter(F.col("v").isNotNull())  # percentile_cont semantics skip NULLs
     w = Window.partitionBy("l_returnflag", "metric").orderBy("v")
     wn = Window.partitionBy("l_returnflag", "metric")
     ranked = long.select(

@@ -121,7 +121,48 @@ SHINGLE_QUERIES = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_cluster_assign",
+    # round 8: the threshold-free sweep and containment run the same
+    # postings count-join, so their work denominator is the same
+    # candidate mass
+    "dedup_threshold_sweep",
+    "dedup_containment",
 )
+
+
+def incremental_candidate_mass(sf_dir: str) -> int:
+    """Candidate volume of dedup_incremental_snapshot's stage-2 join:
+    Σ_h df_left(h)·df_right(h) over the dirty-restricted left postings
+    and all-representative right postings — the exact pre-filter row
+    count of its candidate join (r8: measured, not approximated by the
+    full-corpus mass, which would overstate the dirty-restricted
+    work)."""
+    from pyspark.sql import functions as F
+
+    from data_collection_ieee_spark.operators.dedup import _incremental_parts
+    from data_collection_ieee_spark.session import get_spark
+
+    spark = get_spark("trend-worknorm")
+    _, _, left, right = _incremental_parts(spark, sf_dir)
+    lc = left.groupBy("h").agg(F.count("*").alias("l"))
+    rc = right.groupBy("h").agg(F.count("*").alias("r"))
+    mass = (
+        lc.join(rc, "h")
+        .agg(F.sum(F.col("l") * F.col("r")).alias("mass"))
+        .first()["mass"]
+    )
+    return int(mass)
+
+
+def overlap_output_rows(sf_dir: str) -> int:
+    """Result cardinality of join_session_overlap — the indisputable
+    work lower bound for an operator whose OUTPUT is quadratic in
+    co-active density (r8 profile: 99.8× per data decade on the
+    fixed-span generator)."""
+    from data_collection_ieee_spark import registry
+    from data_collection_ieee_spark.session import get_spark
+
+    spark = get_spark("trend-worknorm")
+    return registry.QUERIES["join_session_overlap"](spark, sf_dir).count()
 
 
 def main() -> int:
@@ -152,6 +193,14 @@ def main() -> int:
             catalog.release_caches()
             for q in SHINGLE_QUERIES:
                 works.setdefault(q, {})[tag] = mass
+            works.setdefault("dedup_incremental_snapshot", {})[tag] = (
+                incremental_candidate_mass(sf_dir)
+            )
+            catalog.release_caches()
+            works.setdefault("join_session_overlap", {})[tag] = (
+                overlap_output_rows(sf_dir)
+            )
+            catalog.release_caches()
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     trend_path = os.path.join(root, "SCALE_TREND.json")
@@ -164,6 +213,10 @@ def main() -> int:
         "dedup_ngram_jaccard": "postings count-join candidate mass sum_h C(df_h,2)",
         "dedup_minhash_lsh": "verification candidate mass bounded by the same sum_h C(df_h,2)",
         "dedup_cluster_assign": "pair-graph construction = the jaccard candidate mass; CC rounds are log-bounded",
+        "dedup_threshold_sweep": "threshold-free postings count-join candidate mass sum_h C(df_h,2)",
+        "dedup_containment": "same postings count-join candidate mass as the sweep",
+        "dedup_incremental_snapshot": "dirty-restricted candidate mass sum_h df_left(h)*df_right(h)",
+        "join_session_overlap": "output pair cardinality (co-active pairs are quadratic in temporal density; fixed-span generator => ~100x per decade)",
     }
     for name, w in works.items():
         if name not in decade["queries"]:
