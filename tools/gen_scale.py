@@ -241,6 +241,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/dcis_scale/sf1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--tables",
+        nargs="*",
+        default=None,
+        help="generate only these fact tables (dims always copied); the "
+        "generator materializes each table in driver memory, so a "
+        "factor-1000 full build (600M lineitem) does not fit — a "
+        "documents-only sf100 for the dedup-family third decade does",
+    )
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -265,6 +274,10 @@ def main() -> int:
         ("part", gen_part),
         ("supplier", gen_supplier),
     ):
+        if args.tables is not None and name not in args.tables:
+            continue  # NB: skipping advances no rng draws, so a subset
+            # build is stream-identical to a full build only for a
+            # PREFIX of the table order above (documents is first)
         n = BASE[name] * args.factor
         tbl = gen(rng, n)
         # bounded row groups: parquet scan parallelism is limited by row
