@@ -314,15 +314,105 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-rank windows: percent_rank ((rank-1)/(n-1)) and
     cume_dist (rank/n) — exact rational formulas over integer ranks, so
     doubles agree bit-for-bit across engines. Total order via the
-    (price, key) tie-break."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_totalprice",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    (price, key) tie-break.
+
+    o_orderstatus has THREE distinct values, so the naive
+    `Window.partitionBy("o_orderstatus")` form puts a third of the
+    table through ONE window task no matter how many executors exist —
+    the low-cardinality twin of the global-window trap, and the decade
+    constant only worsens (measured 9.4× at sf1→sf10 with exactly 3
+    tasks doing all the work). Instead the exact global rank within
+    each status is computed by the :func:`_ntile4_dense`
+    literal-boundary pattern, extended to composite (status, bucket)
+    keys: per-status approx-percentile bounds bucket the prices, a tiny
+    counts job turns bucket sizes into rank offsets, and per-bucket
+    row_number + offset IS the exact rank (ties on a boundary land in
+    one bucket by strict <, and the (price, key) order is total).
+    percent_rank/cume_dist are then arithmetic on (rank, n_status).
+    All collects are bounded index metadata (3 statuses × ≤31 bounds,
+    ≤3×33 counts) — never data."""
+    NB = 32
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    qs = [i / NB for i in range(1, NB)]
+    # accuracy 500 ≈ ±0.2% rank error per bound — the bounds only
+    # balance bucket sizes (correctness never depends on them), so the
+    # cheap sketch is the right one
+    stats = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", qs, 500).alias("bounds"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    if not stats:
+        return o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.lit(None).cast("double").alias("pct_rank"),
+            F.lit(None).cast("double").alias("cume"),
+        )
+    n_by_status = {r["o_orderstatus"]: r["n"] for r in stats}
+    # bucket id within each status: count of that status's boundary
+    # values strictly below the price (ASC order ⇒ bucket 0 smallest);
+    # NULL prices go to a dedicated final bucket (ASC NULLS LAST, the
+    # DuckDB default the oracle uses; orders data has none, the guard
+    # keeps the plan total)
+    bucket = F.lit(None)
+    for r in stats:
+        bounds = sorted(set(r["bounds"] or []))
+        bexpr = (
+            sum((F.col("o_totalprice") > F.lit(b)).cast("int") for b in bounds)
+            if bounds
+            else F.lit(0)
+        )
+        bexpr = F.when(F.col("o_totalprice").isNull(), F.lit(NB)).otherwise(bexpr)
+        bucket = F.when(
+            F.col("o_orderstatus") == F.lit(r["o_orderstatus"]), bexpr
+        ).otherwise(bucket)
+    bucketed = o.select("*", bucket.cast("int").alias("_bkt"))
+
+    cnts = (
+        bucketed.groupBy("o_orderstatus", "_bkt")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    offsets: dict[str, int] = {}
+    acc_by_status: dict[str, int] = {}
+    for r in sorted(cnts, key=lambda r: (r["o_orderstatus"], r["_bkt"])):
+        key = f"{r['o_orderstatus']}|{r['_bkt']}"
+        offsets[key] = acc_by_status.get(r["o_orderstatus"], 0)
+        acc_by_status[r["o_orderstatus"]] = offsets[key] + r["cnt"]
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    nmap = F.create_map(*[F.lit(x) for kv in n_by_status.items() for x in kv])
+
+    rank = (
+        F.row_number().over(
+            Window.partitionBy("o_orderstatus", "_bkt").orderBy(
+                "o_totalprice", "o_orderkey"
+            )
+        )
+        + omap[F.concat_ws("|", "o_orderstatus", "_bkt")]
+    )
+    n_s = nmap[F.col("o_orderstatus")]
+    return (
+        bucketed.repartition("o_orderstatus", "_bkt")
+        .withColumn("_rank", rank)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.round(
+                F.when(n_s == 1, F.lit(0.0)).otherwise(
+                    (F.col("_rank") - 1).cast("double") / (n_s - 1)
+                ),
+                6,
+            ).alias("pct_rank"),
+            F.round(F.col("_rank").cast("double") / n_s, 6).alias("cume"),
+        )
     )
 
 

@@ -1767,3 +1767,28 @@ def test_text_log_roundtrip_exact(spark, sf_dir, duck):
         for r in _rows("scan_text_log_roundtrip", spark, sf_dir)
     }
     assert got == expected
+
+
+def test_percent_rank_cume_matches_naive_window(spark, sf_dir):
+    """Independent implementation: the naive 3-partition Spark window
+    (the exact form the distributed literal-boundary rank replaced —
+    o_orderstatus has 3 distinct values, so it serializes into 3 tasks
+    and cannot scale) must agree bit-for-bit with the shipped plan."""
+    from pyspark.sql import Window, functions as F
+    from data_collection_ieee_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    naive = {
+        (r["o_orderkey"], r["pct_rank"], r["cume"])
+        for r in o.select(
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ).collect()
+    }
+    got = {
+        (r["o_orderkey"], r["pct_rank"], r["cume"])
+        for r in _rows("win_percent_rank_cume", spark, sf_dir)
+    }
+    assert got == naive
