@@ -414,21 +414,35 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch is the default path and this is the audited spot-check, so
     both live in the surface.
 
-    Plan — rank-filter two-pass, NOT Spark's `percentile()` aggregate:
-    `percentile()` buffers every group value into one merge task's
-    aggregation buffer (the r7 sf1→sf10 trend measured it at 48.5× per
-    decade); instead the values go long-form (one row per metric), get
-    a per-(group, metric) row_number + count window — an external
-    SORT that spills, streams, and never buffers a group in memory —
-    and a broadcast 3-row target table keeps only the two rows
-    bracketing each percentile position. Interpolation is then
-    lo + frac·(hi − lo), the identical percentile_cont formula (and
-    parenthesization) both engines use, over a 6-row frame. Outputs
-    rounded to 4 places. The remaining scale bound is per-GROUP sort
-    skew (3 return flags ⇒ 6 sort tasks); for low-cardinality groups
-    over discrete values, pre-compressing to a (group, value, count)
-    histogram before ranking is the next escape and keeps this output
-    contract."""
+    Plan — bucket-selected rank, NOT Spark's `percentile()` aggregate
+    and NOT a full per-group sort either. `percentile()` buffers every
+    group value into one merge task's aggregation buffer (the r7
+    sf1→sf10 trend measured it at 48.5× per decade). The first fix —
+    a per-(group, metric) row_number window — removed the buffering
+    but still externally SORTED every row through 3×2 window tasks
+    (8.56× per decade, and a fixed 6-way parallelism ceiling at any
+    cluster size). Since only the two rows bracketing each percentile
+    position are ever consumed, full ranking is waste: the
+    `_ntile4_dense` literal-boundary pattern (see windows.py) finds
+    them with NO global sort — per-(group, metric) approx bounds cut
+    the values into 128 buckets, a tiny counts job turns bucket sizes
+    into exact rank offsets, the driver resolves WHICH bucket holds
+    each target rank (bounded metadata: ≤6×129 counts), and only
+    those ≤9 buckets (~1/128 of the data each) are sorted — local
+    row_number + offset is the exact global rank. The surviving
+    `ranked` frame has the same (group, metric, v, rn, n) contract,
+    so bracketing + interpolation below are untouched: lo + frac·(hi −
+    lo), the identical percentile_cont formula (and parenthesization)
+    both engines use, rounded to 4 places.
+
+    Bucketing is EQUAL-WIDTH (`width_bucket` on per-group min/max —
+    one JVM call per row), not quantile bounds: a per-group CASE chain
+    over quantile boundaries costs groups×buckets comparisons per row
+    (measured 2.6× slower than the full sort it replaced at 128
+    buckets), and bucket BALANCE is irrelevant here — the counts job
+    yields exact offsets for any partitioning, balance only caps the
+    size of the few buckets actually sorted, and 1024 equal-width
+    buckets keep those small under any realistic value skew."""
     li = load_table(spark, sf_dir, "lineitem")
     long = li.select(
         "l_returnflag",
@@ -439,14 +453,114 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("metric", "v"),
     ).filter(F.col("v").isNotNull())  # percentile_cont semantics skip NULLs
-    w = Window.partitionBy("l_returnflag", "metric").orderBy("v")
-    wn = Window.partitionBy("l_returnflag", "metric")
-    ranked = long.select(
-        "l_returnflag",
-        "metric",
-        "v",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+
+    NB = 1024
+    stats = (
+        long.groupBy("l_returnflag", "metric")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    if not stats:
+        return spark.createDataFrame(
+            [],
+            "l_returnflag string, med_qty double, p90_qty double, med_price double",
+        )
+    gkey = F.concat_ws("|", "l_returnflag", "metric")
+    lomap = F.create_map(
+        *[
+            F.lit(x)
+            for r in stats
+            for x in (f"{r['l_returnflag']}|{r['metric']}", r["lo"])
+        ]
+    )
+    himap = F.create_map(
+        *[
+            F.lit(x)
+            for r in stats
+            for x in (f"{r['l_returnflag']}|{r['metric']}", r["hi"])
+        ]
+    )
+    # width_bucket needs lo < hi; a constant-valued group degenerates
+    # to one bucket (bucket 0), which the offsets handle like any other
+    bucket = F.when(
+        lomap[gkey] < himap[gkey],
+        F.width_bucket(F.col("v"), lomap[gkey], himap[gkey], F.lit(NB)),
+    ).otherwise(F.lit(0))
+    bucketed = long.select("*", bucket.cast("int").alias("_bkt"))
+
+    cnts = (
+        bucketed.groupBy("l_returnflag", "metric", "_bkt")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    offsets: dict[tuple, int] = {}
+    sizes: dict[tuple, int] = {}
+    acc: dict[tuple, int] = {}
+    for r in sorted(cnts, key=lambda r: (r["l_returnflag"], r["metric"], r["_bkt"])):
+        g = (r["l_returnflag"], r["metric"])
+        key = (r["l_returnflag"], r["metric"], r["_bkt"])
+        offsets[key] = acc.get(g, 0)
+        sizes[key] = r["cnt"]
+        acc[g] = offsets[key] + r["cnt"]
+    # driver-side: which bucket holds each target rank (k+1 and k+2,
+    # mirroring the rn filter below exactly — k = floor(p·(n−1)) in
+    # the same double arithmetic Spark evaluates)
+    import math
+
+    plan = [("qty", 0.5), ("qty", 0.9), ("price", 0.5)]
+    keep: set[tuple] = set()
+    for r in stats:
+        g = (r["l_returnflag"], r["metric"])
+        n = r["n"]
+        for metric, p in plan:
+            if metric != r["metric"]:
+                continue
+            kk = math.floor(p * (n - 1))
+            for rank in (kk + 1, kk + 2):
+                if rank > n:
+                    continue
+                for key, off in offsets.items():
+                    if key[:2] == g and off < rank <= off + sizes[key]:
+                        keep.add(key)
+    keep_pred = F.lit(False)
+    for flag, metric, bkt in sorted(keep):
+        keep_pred = keep_pred | (
+            (F.col("l_returnflag") == F.lit(flag))
+            & (F.col("metric") == F.lit(metric))
+            & (F.col("_bkt") == F.lit(bkt))
+        )
+    omap = F.create_map(
+        *[
+            F.lit(x)
+            for (flag, metric, bkt), off in offsets.items()
+            for x in (f"{flag}|{metric}|{bkt}", off)
+        ]
+    )
+    nmap = F.create_map(
+        *[
+            F.lit(x)
+            for r in stats
+            for x in (f"{r['l_returnflag']}|{r['metric']}", r["n"])
+        ]
+    )
+    wb = Window.partitionBy("l_returnflag", "metric", "_bkt").orderBy("v")
+    ranked = (
+        bucketed.filter(keep_pred)
+        .repartition("l_returnflag", "metric", "_bkt")
+        .select(
+            "l_returnflag",
+            "metric",
+            "v",
+            (
+                F.row_number().over(wb)
+                + omap[F.concat_ws("|", "l_returnflag", "metric", "_bkt")]
+            ).alias("rn"),
+            nmap[F.concat_ws("|", "l_returnflag", "metric")].alias("n"),
+        )
     )
     targets = spark.createDataFrame(
         [("qty", 0.5, "med_qty"), ("qty", 0.9, "p90_qty"), ("price", 0.5, "med_price")],

@@ -1792,3 +1792,34 @@ def test_percent_rank_cume_matches_naive_window(spark, sf_dir):
         for r in _rows("win_percent_rank_cume", spark, sf_dir)
     }
     assert got == naive
+
+
+def test_median_exact_matches_numpy(spark, sf_dir, duck):
+    """Independent implementation: numpy linear-interpolation
+    percentiles (the same percentile_cont formula) per return flag,
+    checked against the bucket-selected-rank plan (which never sorts
+    more than the target ranks' buckets)."""
+    import numpy as np
+
+    rows = duck.execute(
+        "SELECT l_returnflag, CAST(l_quantity AS DOUBLE),"
+        " CAST(l_extendedprice AS DOUBLE) FROM lineitem"
+    ).fetchall()
+    by_flag: dict = {}
+    for flag, q, p in rows:
+        by_flag.setdefault(flag, ([], []))
+        by_flag[flag][0].append(q)
+        by_flag[flag][1].append(p)
+    expected = {
+        flag: (
+            round(float(np.percentile(qs, 50)), 4),
+            round(float(np.percentile(qs, 90)), 4),
+            round(float(np.percentile(ps, 50)), 4),
+        )
+        for flag, (qs, ps) in by_flag.items()
+    }
+    got = {
+        r["l_returnflag"]: (r["med_qty"], r["p90_qty"], r["med_price"])
+        for r in _rows("agg_median_exact", spark, sf_dir)
+    }
+    assert got == expected
