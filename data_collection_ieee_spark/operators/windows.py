@@ -355,7 +355,17 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("pct_rank"),
             F.lit(None).cast("double").alias("cume"),
         )
-    n_by_status = {r["o_orderstatus"]: r["n"] for r in stats}
+    # NULL is a legitimate window partition (groupBy collects it like
+    # any other status); Spark map keys cannot be NULL, so a sentinel
+    # stands in for it in the offset/count lookup keys (r8 ADVICE: a
+    # NULL status previously fell through every `==` dispatch branch
+    # and ranked as NULL instead of as its own partition)
+    NULL_KEY = "\x00null_status"
+
+    def _skey(status: str | None) -> str:
+        return NULL_KEY if status is None else status
+
+    n_by_status = {_skey(r["o_orderstatus"]): r["n"] for r in stats}
     # bucket id within each status: count of that status's boundary
     # values strictly below the price (ASC order ⇒ bucket 0 smallest);
     # NULL prices go to a dedicated final bucket (ASC NULLS LAST, the
@@ -371,7 +381,7 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         bexpr = F.when(F.col("o_totalprice").isNull(), F.lit(NB)).otherwise(bexpr)
         bucket = F.when(
-            F.col("o_orderstatus") == F.lit(r["o_orderstatus"]), bexpr
+            F.col("o_orderstatus").eqNullSafe(F.lit(r["o_orderstatus"])), bexpr
         ).otherwise(bucket)
     bucketed = o.select("*", bucket.cast("int").alias("_bkt"))
 
@@ -382,22 +392,24 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     offsets: dict[str, int] = {}
     acc_by_status: dict[str, int] = {}
-    for r in sorted(cnts, key=lambda r: (r["o_orderstatus"], r["_bkt"])):
-        key = f"{r['o_orderstatus']}|{r['_bkt']}"
-        offsets[key] = acc_by_status.get(r["o_orderstatus"], 0)
-        acc_by_status[r["o_orderstatus"]] = offsets[key] + r["cnt"]
+    for r in sorted(cnts, key=lambda r: (_skey(r["o_orderstatus"]), r["_bkt"])):
+        s = _skey(r["o_orderstatus"])
+        key = f"{s}|{r['_bkt']}"
+        offsets[key] = acc_by_status.get(s, 0)
+        acc_by_status[s] = offsets[key] + r["cnt"]
     omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     nmap = F.create_map(*[F.lit(x) for kv in n_by_status.items() for x in kv])
 
+    skey_col = F.coalesce(F.col("o_orderstatus"), F.lit(NULL_KEY))
     rank = (
         F.row_number().over(
             Window.partitionBy("o_orderstatus", "_bkt").orderBy(
                 "o_totalprice", "o_orderkey"
             )
         )
-        + omap[F.concat_ws("|", "o_orderstatus", "_bkt")]
+        + omap[F.concat_ws("|", skey_col, F.col("_bkt"))]
     )
-    n_s = nmap[F.col("o_orderstatus")]
+    n_s = nmap[skey_col]
     return (
         bucketed.repartition("o_orderstatus", "_bkt")
         .withColumn("_rank", rank)

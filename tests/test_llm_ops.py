@@ -1794,6 +1794,39 @@ def test_percent_rank_cume_matches_naive_window(spark, sf_dir):
     assert got == naive
 
 
+def test_percent_rank_cume_null_status_partition(spark, tmp_path):
+    """A NULL o_orderstatus is a legitimate window partition: the
+    literal-boundary dispatch must rank it like any other status (r8
+    ADVICE: `== lit(status)` let NULL rows fall through every branch
+    and emit NULL ranks). NULL prices keep their dedicated bucket."""
+    from pyspark.sql import Window, functions as F
+
+    rows = [
+        (1, "F", 10.0), (2, "F", 20.0), (3, None, 5.0), (4, None, 15.0),
+        (5, None, 25.0), (6, "O", 30.0), (7, None, None), (8, "F", None),
+    ]
+    o = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    o.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc_nulls_last(), "o_orderkey"
+    )
+    naive = {
+        (r["o_orderkey"], r["pct_rank"], r["cume"])
+        for r in o.select(
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ).collect()
+    }
+    got = {
+        (r["o_orderkey"], r["pct_rank"], r["cume"])
+        for r in _rows("win_percent_rank_cume", spark, str(tmp_path))
+    }
+    assert got == naive
+
+
 def test_median_exact_matches_numpy(spark, sf_dir, duck):
     """Independent implementation: numpy linear-interpolation
     percentiles (the same percentile_cont formula) per return flag,

@@ -152,6 +152,11 @@ def main() -> int:
         # merged ratios are never attributed to stale conditions; if
         # the environment differs from the stored run, keep a per-run
         # history under "env_history" instead of silently overwriting.
+        if stored.get("base") is None:
+            # legacy pre-r8 entry recorded without a base key: the big
+            # endpoint already matched, so treat it as same-decade and
+            # backfill rather than locking the entry out of merges
+            stored["base"] = args.base
         if stored.get("base") != args.base:
             raise SystemExit(
                 f"decade '{label}' was recorded with base={stored.get('base')} "

@@ -150,7 +150,9 @@ def incremental_candidate_mass(sf_dir: str) -> int:
         .agg(F.sum(F.col("l") * F.col("r")).alias("mass"))
         .first()["mass"]
     )
-    return int(mass)
+    # SUM over an empty inner join is NULL: no dirty-left posting
+    # shares a hash with any right posting ⇒ candidate mass is zero
+    return int(mass or 0)
 
 
 def overlap_output_rows(sf_dir: str) -> int:
