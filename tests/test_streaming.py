@@ -327,6 +327,23 @@ def test_cusum_planted_drift_alarms(spark, tmp_path):
         if r["event_type"] not in final or r["n_seen"] > final[r["event_type"]]["n_seen"]:
             final[r["event_type"]] = r
 
+    # Pin the micro-batch COMPOSITION, not just the values: the 900-row
+    # fixture splits at row 450, so shift_up (rows 300-599) straddles
+    # the file boundary and must emit one update row per micro-batch.
+    # If availableNow ever collapsed the two files into one batch (the
+    # load-dependent composition r7 worried about), this fails loudly
+    # instead of silently testing single-batch state.
+    per_key_updates = {}
+    for r in out:
+        per_key_updates[r["event_type"]] = per_key_updates.get(r["event_type"], 0) + 1
+    assert per_key_updates == {"stable": 1, "shift_up": 2, "shift_down": 1}, (
+        per_key_updates
+    )
+    # and the straddle itself: the first shift_up update saw exactly the
+    # 150 file-0 rows, proving state (not a rescan) carried the detector
+    shift_up_seen = sorted(r["n_seen"] for r in out if r["event_type"] == "shift_up")
+    assert shift_up_seen == [150, 300], shift_up_seen
+
     assert final["stable"]["n_alarms"] == 0 and not final["stable"]["drifting"]
     assert final["shift_up"]["n_alarms"] == 1 and final["shift_up"]["drifting"]
     assert final["shift_up"]["s_pos_cents"] > 100_000
