@@ -425,24 +425,44 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     position are ever consumed, full ranking is waste: the
     `_ntile4_dense` literal-boundary pattern (see windows.py) finds
     them with NO global sort — per-(group, metric) approx bounds cut
-    the values into 128 buckets, a tiny counts job turns bucket sizes
-    into exact rank offsets, the driver resolves WHICH bucket holds
-    each target rank (bounded metadata: ≤6×129 counts), and only
-    those ≤9 buckets (~1/128 of the data each) are sorted — local
-    row_number + offset is the exact global rank. The surviving
-    `ranked` frame has the same (group, metric, v, rn, n) contract,
-    so bracketing + interpolation below are untouched: lo + frac·(hi −
-    lo), the identical percentile_cont formula (and parenthesization)
-    both engines use, rounded to 4 places.
+    the values into NB = 1024 buckets, a tiny counts job turns bucket
+    sizes into exact rank offsets, the driver resolves WHICH bucket
+    holds each target rank (bounded metadata: ≤6×1026 counts), and
+    only those ≤9 bracketing buckets (~1/1024 of the data each under
+    a uniform spread) are sorted — local row_number + offset is the
+    exact global rank. The surviving `ranked` frame has the same
+    (group, metric, v, rn, n) contract, so bracketing + interpolation
+    below are untouched: lo + frac·(hi − lo), the identical
+    percentile_cont formula (and parenthesization) both engines use,
+    rounded to 4 places.
+
+    Round-9 adjudication (idle-host interleaved A/B vs the rank-filter
+    two-pass this replaced, tools/median_ab.py): sf0.1 5.2 s vs 2.1 s,
+    sf1 7.5 s vs 13.0 s, sf10 20.2 s vs 180.7 s — the two extra scans
+    cost ~3 s flat while the rank-filter's 6-task sort ceiling grows
+    superlinearly, so the crossover sits just past sf0.1 and the
+    bucket form is ~9× faster at sf10. Kept; re-frozen in BASELINE.md
+    Addendum 9.
 
     Bucketing is EQUAL-WIDTH (`width_bucket` on per-group min/max —
     one JVM call per row), not quantile bounds: a per-group CASE chain
     over quantile boundaries costs groups×buckets comparisons per row
     (measured 2.6× slower than the full sort it replaced at 128
-    buckets), and bucket BALANCE is irrelevant here — the counts job
-    yields exact offsets for any partitioning, balance only caps the
-    size of the few buckets actually sorted, and 1024 equal-width
-    buckets keep those small under any realistic value skew."""
+    buckets), and bucket BALANCE is irrelevant for CORRECTNESS — the
+    counts job yields exact offsets for any partitioning; balance only
+    caps the size of the few buckets actually sorted. Under a
+    pathological heavy tail (most values equal ⇒ one bucket holds the
+    group), the kept-bucket sort degrades to the rank-filter form's
+    per-group sort — same answer, never asymptotically worse than the
+    plan this replaced (skew pytest pins the exact result and that
+    only bracketing buckets are sorted).
+
+    Groups whose metric is entirely NULL keep their row with NULL
+    estimates (percentile_cont semantics): stats are taken BEFORE the
+    NULL filter with count(v)/min(v)/max(v) null-skipping aggregates,
+    and the estimate frame is left-joined back onto the flag domain
+    collected in the same job (r8 ADVICE: the old pre-filter dropped
+    all-NULL groups entirely while the DuckDB oracle kept them)."""
     li = load_table(spark, sf_dir, "lineitem")
     long = li.select(
         "l_returnflag",
@@ -452,18 +472,23 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("price"), F.col("l_extendedprice").cast("double"),
             )
         ).alias("metric", "v"),
-    ).filter(F.col("v").isNotNull())  # percentile_cont semantics skip NULLs
+    )
 
     NB = 1024
+    # stats BEFORE the NULL filter: count(v)/min(v)/max(v) skip NULLs
+    # (percentile_cont semantics) but an all-NULL group still yields a
+    # row (n = 0), so the flag domain for the final left-join is known
+    # from this same bounded collect — no extra scan
     stats = (
         long.groupBy("l_returnflag", "metric")
         .agg(
             F.min("v").alias("lo"),
             F.max("v").alias("hi"),
-            F.count("*").alias("n"),
+            F.count("v").alias("n"),
         )
         .collect()
     )
+    long = long.filter(F.col("v").isNotNull())
     if not stats:
         return spark.createDataFrame(
             [],
@@ -592,11 +617,21 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return est.groupBy("l_returnflag").agg(
+    pivoted = est.groupBy("l_returnflag").agg(
         F.min(F.when(F.col("target") == "med_qty", F.col("est"))).alias("med_qty"),
         F.min(F.when(F.col("target") == "p90_qty", F.col("est"))).alias("p90_qty"),
         F.min(F.when(F.col("target") == "med_price", F.col("est"))).alias("med_price"),
     )
+    # left-join back onto the full flag domain (known from the stats
+    # collect) so an all-NULL group keeps its row with NULL estimates,
+    # matching the oracle's GROUP BY; null-safe on for a NULL flag group
+    flags = sorted({r["l_returnflag"] for r in stats}, key=lambda x: (x is None, x))
+    flags_df = spark.createDataFrame([(f,) for f in flags], "l_returnflag string")
+    return flags_df.join(
+        F.broadcast(pivoted),
+        on=flags_df["l_returnflag"].eqNullSafe(pivoted["l_returnflag"]),
+        how="left",
+    ).select(flags_df["l_returnflag"], "med_qty", "p90_qty", "med_price")
 
 
 @query("agg_sketch_reaggregate")

@@ -1882,3 +1882,66 @@ def test_median_exact_matches_numpy(spark, sf_dir, duck):
         for r in _rows("agg_median_exact", spark, sf_dir)
     }
     assert got == expected
+
+
+def _write_lineitem(tmp_path, rows):
+    import pandas as pd
+
+    pd.DataFrame(
+        rows, columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    ).to_parquet(str(tmp_path / "lineitem.parquet"), index=False)
+    return str(tmp_path)
+
+
+def test_median_exact_heavy_tail_skew(spark, tmp_path):
+    """width_bucket skew adversary: 99% of one group's values are
+    identical, so the median's bracketing bucket holds nearly the whole
+    group — the 'sort only small buckets' premise fails and the kept
+    bucket degrades to a full-group sort. The answer must stay exact
+    (numpy linear-interpolation reference); the degradation is a perf
+    bound (== the rank-filter form it replaced), never a wrong row."""
+    import numpy as np
+
+    vals = [1.0] * 990 + [10.0**i for i in range(1, 11)]
+    rows = [("S", v, v * 2) for v in vals]
+    # second group: uniform spread, exercises the normal bucket path
+    rows += [("U", float(i), float(i) * 3) for i in range(1, 501)]
+    d = _write_lineitem(tmp_path, rows)
+    expected = {}
+    for flag, scale in (("S", vals), ("U", [float(i) for i in range(1, 501)])):
+        qs = np.array(scale)
+        ps = qs * (2 if flag == "S" else 3)
+        expected[flag] = (
+            round(float(np.percentile(qs, 50)), 4),
+            round(float(np.percentile(qs, 90)), 4),
+            round(float(np.percentile(ps, 50)), 4),
+        )
+    got = {
+        r["l_returnflag"]: (r["med_qty"], r["p90_qty"], r["med_price"])
+        for r in _rows("agg_median_exact", spark, d)
+    }
+    assert got == expected
+
+
+def test_median_exact_all_null_group_keeps_row(spark, tmp_path):
+    """percentile_cont semantics: a group whose metric values are all
+    NULL keeps its output row with NULL quantiles (the DuckDB oracle's
+    GROUP BY does), and NULLs inside a mixed group are skipped, not
+    interpolated (r8 ADVICE: the old pre-grouping filter dropped the
+    all-NULL group entirely)."""
+    rows = [
+        ("N", None, None),
+        ("N", None, None),
+        ("M", 1.0, None),
+        ("M", 3.0, 10.0),
+        ("M", None, 30.0),
+    ]
+    d = _write_lineitem(tmp_path, rows)
+    got = {
+        r["l_returnflag"]: (r["med_qty"], r["p90_qty"], r["med_price"])
+        for r in _rows("agg_median_exact", spark, d)
+    }
+    assert set(got) == {"N", "M"}
+    assert got["N"] == (None, None, None)
+    # M: qty over [1,3] -> med 2.0, p90 2.8; price over [10,30] -> med 20.0
+    assert got["M"] == (2.0, 2.8, 20.0)
