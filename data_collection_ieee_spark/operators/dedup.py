@@ -272,9 +272,10 @@ PAIR_PASSES_ENV = "SPARK_GRAFT_PAIR_PASSES"
 
 # per-label stats of the last sharded run: [{pass, wall_s,
 # scratch_bytes, local_dir_bytes}] — the scale-trend runner records
-# these next to the decade entry
+# these next to the decade entry. Deliberately NOT cleared by
+# release_caches(): it is run metadata, not a cached frame, and the
+# trend harness reads it after its final cache release.
 PASS_STATS: dict[str, list[dict]] = {}
-on_release(PASS_STATS.clear)
 
 
 def _n_pair_passes() -> int:
