@@ -514,9 +514,13 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per-key running windows — one shuffle on event_type, then a
     linear in-order pass per key. Key cardinality bounds parallelism
-    (5 types here); at 100 TB the same plan runs per (type, day) with
-    day-boundary carry via the streaming operator, which IS this
-    recursion in time-chunked form with explicit carry state."""
+    (5 types here); the r9 audit measured the decades at 1.65× and
+    4.6× (still under-linear), so this simpler form stays shipped. The
+    segmented two-pass twin `_cusum_drift_segmented` (below) removes
+    the 5-task ceiling via time-bucketed local scans + a driver-side
+    exact carry chain — it TIES at sf10 (6.5 vs 6.6 s) and costs ~3 s
+    flat at sf1, so it becomes the shipped plan the round a decade
+    measurement crosses linear; a pytest pins the two equal."""
     from data_collection_ieee_spark.streaming.stateful import (
         CUSUM_H_CENTS,
         CUSUM_K_CENTS,
@@ -576,6 +580,237 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") == 1, F.col("s_pos"))).cast("long").alias("s_pos_cents"),
         F.sum(F.when(F.col("rn") == 1, F.col("s_neg"))).cast("long").alias("s_neg_cents"),
         F.bool_or(F.when(F.col("rn") == 1, F.col("ap") | F.col("an"))).alias("drifting"),
+    )
+
+
+def _cusum_drift_segmented(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 64
+) -> DataFrame:
+    """Segmented two-pass CUSUM — the scale form of
+    :func:`events_cusum_drift`, same output contract bit-for-bit.
+
+    The naive form partitions its windows by event_type (~5 values), so
+    a third of a 100 TB events table funnels through ONE window task no
+    matter the cluster size — the same low-cardinality trap fixed for
+    `win_percent_rank_cume`. Here the recursion is a prefix SCAN, so
+    the literal-boundary device generalizes to a segmented scan:
+
+    1. bucket each type's timeline into `n_buckets` time ranges
+       (width_bucket on unix_micros; ties share a bucket, so the
+       (ts, event_id) total order never straddles a boundary);
+    2. one windowed pass per (type, bucket) computes LOCAL prefix sums
+       and prefix mins — 5×64 parallel scan tasks instead of 5;
+    3. a bounded collect (types × buckets rows of totals/mins) lets the
+       driver chain the carries exactly: bucket sum offsets, global
+       prefix-min through each boundary, the previous bucket's final
+       alarm state (the lag seed), and each type's final S — all in
+       exact Python ints;
+    4. a second windowed pass rebuilds per-row S from local values +
+       broadcast literal maps and counts threshold up-crossings with
+       the boundary-seeded lag.
+
+    The driver never sees data rows — only the types×buckets carry
+    table, the same bounded-metadata contract as the percent_rank and
+    median bucket plans. This is also exactly how the streaming twin
+    distributes: the micro-batch boundary IS the bucket boundary and
+    the state store holds the carry."""
+    from data_collection_ieee_spark.streaming.stateful import (
+        CUSUM_H_CENTS,
+        CUSUM_K_CENTS,
+        CUSUM_MU0_CENTS,
+    )
+
+    up = CUSUM_MU0_CENTS + CUSUM_K_CENTS
+    dn = CUSUM_MU0_CENTS - CUSUM_K_CENTS
+    h = CUSUM_H_CENTS
+    NULL_KEY = "\x00null_type"
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("tsn"),
+    )
+    stats = (
+        ev.groupBy("event_type")
+        .agg(F.min("tsn").alias("lo"), F.max("tsn").alias("hi"))
+        .collect()
+    )
+    if not stats:
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_events long, n_alarms long, "
+            "s_pos_cents long, s_neg_cents long, drifting boolean",
+        )
+
+    def _skey(t: str | None) -> str:
+        return NULL_KEY if t is None else t
+
+    tkey = F.coalesce(F.col("event_type"), F.lit(NULL_KEY))
+    lomap = F.create_map(*[F.lit(x) for r in stats for x in (_skey(r["event_type"]), r["lo"])])
+    himap = F.create_map(*[F.lit(x) for r in stats for x in (_skey(r["event_type"]), r["hi"])])
+    bucket = F.when(
+        lomap[tkey] < himap[tkey],
+        F.width_bucket(F.col("tsn"), lomap[tkey], himap[tkey], F.lit(n_buckets)),
+    ).otherwise(F.lit(0))
+    bucketed = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("cents") - F.lit(up)).alias("dp_pos"),
+        (F.lit(dn) - F.col("cents")).alias("dp_neg"),
+        bucket.cast("int").alias("_bkt"),
+    )
+
+    wloc = (
+        Window.partitionBy("event_type", "_bkt")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = bucketed.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "_bkt",
+        "dp_pos",
+        "dp_neg",
+        F.sum("dp_pos").over(wloc).alias("c_pos"),
+        F.sum("dp_neg").over(wloc).alias("c_neg"),
+    ).select(  # running min of the running sum — same window spec, so
+        # Catalyst fuses both Window nodes over ONE sort
+        "*",
+        F.min("c_pos").over(wloc).alias("m_pos"),
+        F.min("c_neg").over(wloc).alias("m_neg"),
+    )
+    # bounded carry table: one row per (type, bucket) — totals are the
+    # bucket's final local prefix sum, mins are its local prefix-min
+    carries = (
+        loc.groupBy("event_type", "_bkt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("dp_pos").alias("tot_pos"),
+            F.sum("dp_neg").alias("tot_neg"),
+            F.min("c_pos").alias("mn_pos"),
+            F.min("c_neg").alias("mn_neg"),
+        )
+        .collect()
+    )
+
+    # driver-side exact carry chain, per type over present buckets in
+    # time order (all Python ints — no float touches a threshold)
+    INF = float("inf")
+    off: dict[tuple, tuple[int, int]] = {}  # (type,bkt) -> (off_pos, off_neg)
+    gmin: dict[tuple, tuple] = {}  # (type,bkt) -> (G_pos, G_neg) before bucket
+    seed: dict[tuple, tuple[bool, bool]] = {}  # (type,bkt) -> (lap, lan) seed
+    final: dict = {}  # type -> (n_events, s_pos, s_neg)
+    by_type: dict = {}
+    for r in sorted(carries, key=lambda r: (_skey(r["event_type"]), r["_bkt"])):
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rows in by_type.items():
+        op = on = 0  # running sum offsets
+        gp = gn = INF  # global prefix min through previous buckets
+        lap = lan = False  # previous bucket's final alarm state
+        n_events = 0
+        last_sp = last_sn = 0
+        for r in rows:
+            k = (t, r["_bkt"])
+            off[k] = (op, on)
+            gmin[k] = (gp, gn)
+            seed[k] = (lap, lan)
+            n_events += r["n"]
+            # end-of-bucket state, exactly: final c = off + tot;
+            # global min through this bucket = min(G, off + local min)
+            gp = min(gp, op + r["mn_pos"])
+            gn = min(gn, on + r["mn_neg"])
+            op += r["tot_pos"]
+            on += r["tot_neg"]
+            last_sp = op - min(0, gp if gp != INF else 0)
+            last_sn = on - min(0, gn if gn != INF else 0)
+            lap = last_sp > h
+            lan = last_sn > h
+        final[t] = (n_events, last_sp, last_sn)
+
+    bkey = F.concat_ws("|", tkey, F.col("_bkt"))
+
+    def _lit_map(d: dict, idx: int):
+        return F.create_map(
+            *[
+                F.lit(x)
+                for (t, b), v in d.items()
+                for x in (f"{_skey(t)}|{b}", int(v[idx]))
+            ]
+        )
+
+    offp, offn = _lit_map(off, 0), _lit_map(off, 1)
+    # INF ⇒ no previous bucket ⇒ the global min is the local one; a
+    # sentinel above any reachable value keeps the min() JVM-side
+    BIG = 1 << 62
+    gp_map = F.create_map(
+        *[
+            F.lit(x)
+            for (t, b), (gp, _gn) in gmin.items()
+            for x in (f"{_skey(t)}|{b}", BIG if gp == INF else int(gp))
+        ]
+    )
+    gn_map = F.create_map(
+        *[
+            F.lit(x)
+            for (t, b), (_gp, gn) in gmin.items()
+            for x in (f"{_skey(t)}|{b}", BIG if gn == INF else int(gn))
+        ]
+    )
+    lap_map = F.create_map(
+        *[F.lit(x) for (t, b), v in seed.items() for x in (f"{_skey(t)}|{b}", bool(v[0]))]
+    )
+    lan_map = F.create_map(
+        *[F.lit(x) for (t, b), v in seed.items() for x in (f"{_skey(t)}|{b}", bool(v[1]))]
+    )
+
+    hl = F.lit(h)
+    s = loc.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "_bkt",
+        (
+            (F.col("c_pos") + offp[bkey])
+            - F.least(F.least(gp_map[bkey], F.col("m_pos") + offp[bkey]), F.lit(0))
+        ).alias("s_pos"),
+        (
+            (F.col("c_neg") + offn[bkey])
+            - F.least(F.least(gn_map[bkey], F.col("m_neg") + offn[bkey]), F.lit(0))
+        ).alias("s_neg"),
+    )
+    wo = Window.partitionBy("event_type", "_bkt").orderBy("ts", "event_id")
+    a = s.select(
+        "event_type",
+        (F.col("s_pos") > hl).alias("ap"),
+        (F.col("s_neg") > hl).alias("an"),
+        F.coalesce(F.lag(F.col("s_pos") > hl).over(wo), lap_map[bkey]).alias("lap"),
+        F.coalesce(F.lag(F.col("s_neg") > hl).over(wo), lan_map[bkey]).alias("lan"),
+    )
+    one, zero = F.lit(1), F.lit(0)
+    counted = a.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.col("ap") & ~F.col("lap"), one).otherwise(zero)
+            + F.when(F.col("an") & ~F.col("lan"), one).otherwise(zero)
+        ).cast("long").alias("n_alarms"),
+    )
+    fin_sp = F.create_map(
+        *[F.lit(x) for t, v in final.items() for x in (_skey(t), int(v[1]))]
+    )
+    fin_sn = F.create_map(
+        *[F.lit(x) for t, v in final.items() for x in (_skey(t), int(v[2]))]
+    )
+    return counted.select(
+        "event_type",
+        "n_events",
+        "n_alarms",
+        fin_sp[tkey].alias("s_pos_cents"),
+        fin_sn[tkey].alias("s_neg_cents"),
+        ((fin_sp[tkey] > hl) | (fin_sn[tkey] > hl)).alias("drifting"),
     )
 
 

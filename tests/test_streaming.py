@@ -351,6 +351,28 @@ def test_cusum_planted_drift_alarms(spark, tmp_path):
     assert final["shift_down"]["s_neg_cents"] > 100_000
 
 
+def test_cusum_segmented_equals_window_form(spark, sf_dir):
+    """The segmented two-pass CUSUM (time-bucketed local scans +
+    driver-side exact carry chain — the >sf10 escape from the 5-task
+    low-cardinality window ceiling) must match the shipped window-SQL
+    form field-for-field, including with more buckets than rows per
+    type (every bucket boundary becomes a carry)."""
+    from data_collection_ieee_spark.operators.streaming_shaped import (
+        _cusum_drift_segmented,
+    )
+
+    base = {
+        r["event_type"]: tuple(r)
+        for r in registry.QUERIES["events_cusum_drift"](spark, sf_dir).collect()
+    }
+    for nb in (64, 997):
+        seg = {
+            r["event_type"]: tuple(r)
+            for r in _cusum_drift_segmented(spark, sf_dir, n_buckets=nb).collect()
+        }
+        assert seg == base, nb
+
+
 def test_cusum_batch_query_equals_streaming_operator(spark, sf_dir):
     """The oracle-checked window-SQL form and the stateful streaming
     kernel implement the SAME recursion with the same constants: with a
