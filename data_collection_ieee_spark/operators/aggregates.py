@@ -679,3 +679,125 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
         F.count("*").cast("int").alias("n"),
     )
+
+
+@query(
+    "agg_weighted_percentiles",
+    oracle="""
+WITH d AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS v,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+  FROM documents
+),
+t AS (SELECT lang, SUM(w) AS tw FROM d GROUP BY lang),
+c AS (
+  SELECT lang, v, w,
+         SUM(w) OVER (PARTITION BY lang ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw
+  FROM d
+)
+SELECT c.lang,
+       MIN(CASE WHEN 2 * cw >= t.tw THEN v END) AS w_med,
+       MIN(CASE WHEN 10 * cw >= 9 * t.tw THEN v END) AS w_p90
+FROM c JOIN t ON c.lang = t.lang
+GROUP BY c.lang
+""",
+)
+def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED percentiles (lower weighted median / p90) of
+    document length, weighted by token count, per language — the
+    mix-design primitive: "half the TOKENS (not docs) of this language
+    sit in docs shorter than X". The lower weighted p-percentile is the
+    smallest v whose cumulative weight reaches p of the total; both
+    thresholds are exact integer cross-multiplications (2·cum ≥ tw,
+    10·cum ≥ 9·tw) so no float touches a boundary, and ties on v are
+    order-safe (a tie group satisfies iff its full prefix sum does).
+
+    Plan — the round-9 bucket-selected rank device (agg_median_exact's
+    A/B-validated pattern), generalized from row ranks to weight mass:
+    per-lang min/max bounds cut v into 1024 equal-width buckets, one
+    counts job sums WEIGHT per (lang, bucket) (bounded collect:
+    langs×1025), the driver walks the cumulative weights to find which
+    bucket each percentile's crossing lands in, and only those ≤2
+    buckets per lang are windowed — the cumulative sum inside a kept
+    bucket plus the driver's bucket offset is the exact global
+    cumulative weight. No full sort, no low-cardinality window over
+    the whole table, all collects bounded metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("v"),
+        F.size(F.split("text", " ")).cast("long").alias("w"),
+    )
+    NB = 1024
+    stats = (
+        d.groupBy("lang")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"), F.sum("w").alias("tw"))
+        .collect()
+    )
+    if not stats:
+        return spark.createDataFrame([], "lang string, w_med long, w_p90 long")
+    lomap = F.create_map(*[F.lit(x) for r in stats for x in (r["lang"], r["lo"])])
+    himap = F.create_map(*[F.lit(x) for r in stats for x in (r["lang"], r["hi"])])
+    bucket = F.when(
+        lomap[F.col("lang")] < himap[F.col("lang")],
+        F.width_bucket(F.col("v"), lomap[F.col("lang")], himap[F.col("lang")], F.lit(NB)),
+    ).otherwise(F.lit(0))
+    bucketed = d.select("*", bucket.cast("int").alias("_bkt"))
+
+    wsums = (
+        bucketed.groupBy("lang", "_bkt").agg(F.sum("w").alias("bw")).collect()
+    )
+    tw_by_lang = {r["lang"]: r["tw"] for r in stats}
+    # driver: cumulative weight offsets per bucket; the crossing bucket
+    # for p = num/den is the first whose end-cum satisfies
+    # den·cum ≥ num·tw
+    plan = [(1, 2, "w_med"), (9, 10, "w_p90")]
+    offsets: dict[tuple, int] = {}
+    keep: set[tuple] = set()
+    acc: dict[str, int] = {}
+    found: set[tuple] = set()
+    for r in sorted(wsums, key=lambda r: (r["lang"], r["_bkt"])):
+        lang, bkt, bw = r["lang"], r["_bkt"], r["bw"]
+        off = acc.get(lang, 0)
+        offsets[(lang, bkt)] = off
+        end_cum = off + bw
+        acc[lang] = end_cum
+        tw = tw_by_lang[lang]
+        for num, den, tgt in plan:
+            if (lang, tgt) not in found and den * end_cum >= num * tw:
+                keep.add((lang, bkt))
+                found.add((lang, tgt))
+    keep_pred = F.lit(False)
+    for lang, bkt in sorted(keep):
+        keep_pred = keep_pred | (
+            (F.col("lang") == F.lit(lang)) & (F.col("_bkt") == F.lit(bkt))
+        )
+    omap = F.create_map(
+        *[
+            F.lit(x)
+            for (lang, bkt), off in offsets.items()
+            for x in (f"{lang}|{bkt}", off)
+        ]
+    )
+    twmap = F.create_map(*[F.lit(x) for r in stats for x in (r["lang"], r["tw"])])
+    wc = (
+        Window.partitionBy("lang", "_bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        bucketed.filter(keep_pred)
+        .repartition("lang", "_bkt")
+        .select(
+            "lang",
+            "v",
+            (
+                F.sum("w").over(wc) + omap[F.concat_ws("|", "lang", "_bkt")]
+            ).alias("cw"),
+            twmap[F.col("lang")].alias("tw"),
+        )
+    )
+    return cum.groupBy("lang").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v"))).alias("w_med"),
+        F.min(F.when(10 * F.col("cw") >= 9 * F.col("tw"), F.col("v"))).alias("w_p90"),
+    )

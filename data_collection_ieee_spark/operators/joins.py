@@ -861,3 +861,113 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"), "n_customers", "sum_acctbal"
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+     b AS (
+       SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.ts AS click_ts,
+              ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                 ORDER BY c.ts DESC, c.event_id DESC) AS rn
+       FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+     ),
+     f AS (
+       SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.ts AS click_ts,
+              ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                 ORDER BY c.ts ASC, c.event_id ASC) AS rn
+       FROM p JOIN c ON p.user_id = c.user_id AND c.ts > p.ts
+     ),
+     j AS (
+       SELECT p.event_id AS purchase_id,
+              CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+              b.click_id AS b_id, CAST(b.click_ts AS TIMESTAMP) AS b_ts,
+              f.click_id AS f_id, CAST(f.click_ts AS TIMESTAMP) AS f_ts
+       FROM p
+       LEFT JOIN (SELECT * FROM b WHERE rn = 1) b ON b.purchase_id = p.event_id
+       LEFT JOIN (SELECT * FROM f WHERE rn = 1) f ON f.purchase_id = p.event_id
+     ),
+     d AS (
+       SELECT *,
+              (b_ts IS NOT NULL AND (f_ts IS NULL OR
+                epoch_us(purchase_ts) - epoch_us(b_ts)
+                  <= epoch_us(f_ts) - epoch_us(purchase_ts))) AS use_back
+       FROM j
+     )
+SELECT purchase_id, purchase_ts,
+       CASE WHEN use_back THEN b_id ELSE f_id END AS click_id,
+       CASE WHEN use_back THEN b_ts ELSE f_ts END AS click_ts,
+       CASE WHEN use_back THEN 'back' ELSE 'forward' END AS direction,
+       CASE WHEN use_back THEN epoch_us(b_ts) - epoch_us(purchase_ts)
+            ELSE epoch_us(f_ts) - epoch_us(purchase_ts) END AS gap_us
+FROM d
+WHERE b_id IS NOT NULL OR f_id IS NOT NULL
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join — each purchase matched to the click closest
+    in time in EITHER direction (sensor-alignment semantics: backward
+    match may be stale, forward may be the right correction). Ties
+    break backward (a same-ts click is a 0-gap backward match); within
+    a side, ties on click ts resolve to the highest id backward /
+    lowest id forward, matching the oracle's window order exactly.
+    `gap_us` is the signed integer microsecond offset (click − purchase,
+    ≤ 0 backward) so no float rounding can flip a direction choice.
+
+    Plan: the same single-shuffle union-window device as `join_asof`
+    (SURVEY ref: the backward form) — both streams union once, ONE
+    shuffle + sort on (user_id, ts, kind, id), then two frames over the
+    same sort (last-click-carried-forward for backward, first-click-
+    following for forward; clicks order before purchases at equal ts so
+    the inclusive/exclusive boundary is encoded in the sort key, not a
+    filter). No per-key join blowup, no second shuffle: Catalyst reuses
+    the one sort for both window frames."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("eid"), F.lit(0).alias("kind")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("eid"), F.lit(1).alias("kind")
+    )
+    u = clicks.unionByName(purchases)
+    order = ["ts", "kind", "eid"]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_click = F.col("kind") == 0
+    carried = u.select(
+        "*",
+        F.last(F.when(is_click, F.col("eid")), ignorenulls=True).over(w_back).alias("b_id"),
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(w_back).alias("b_ts"),
+        F.first(F.when(is_click, F.col("eid")), ignorenulls=True).over(w_fwd).alias("f_id"),
+        F.first(F.when(is_click, F.col("ts")), ignorenulls=True).over(w_fwd).alias("f_ts"),
+    )
+    pus = F.unix_micros("ts")
+    use_back = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull()
+        | ((pus - F.unix_micros("b_ts")) <= (F.unix_micros("f_ts") - pus))
+    )
+    return (
+        carried.filter(F.col("kind") == 1)
+        .filter(F.col("b_id").isNotNull() | F.col("f_id").isNotNull())
+        .select(
+            F.col("eid").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.when(use_back, F.col("b_id")).otherwise(F.col("f_id")).alias("click_id"),
+            F.when(use_back, F.col("b_ts")).otherwise(F.col("f_ts")).alias("click_ts"),
+            F.when(use_back, F.lit("back")).otherwise(F.lit("forward")).alias("direction"),
+            (
+                F.when(use_back, F.unix_micros("b_ts")).otherwise(F.unix_micros("f_ts"))
+                - pus
+            ).alias("gap_us"),
+        )
+    )

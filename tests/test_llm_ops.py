@@ -1945,3 +1945,90 @@ def test_median_exact_all_null_group_keeps_row(spark, tmp_path):
     assert got["N"] == (None, None, None)
     # M: qty over [1,3] -> med 2.0, p90 2.8; price over [10,30] -> med 20.0
     assert got["M"] == (2.0, 2.8, 20.0)
+
+
+def test_weighted_percentiles_match_python_reference(spark, sf_dir, duck):
+    """Independent implementation: a driver-side sort + cumulative
+    integer weight walk (the textbook lower weighted percentile) must
+    match the bucket-selected distributed plan exactly."""
+    rows = duck.execute(
+        "SELECT lang, CAST(n_chars AS BIGINT),"
+        " CAST(len(string_split(text, ' ')) AS BIGINT) FROM documents"
+    ).fetchall()
+    by_lang: dict = {}
+    for lang, v, w in rows:
+        by_lang.setdefault(lang, []).append((v, w))
+    expected = {}
+    for lang, vw in by_lang.items():
+        vw.sort()
+        tw = sum(w for _v, w in vw)
+        med = p90 = None
+        cum = 0
+        for v, w in vw:
+            cum += w
+            if med is None and 2 * cum >= tw:
+                med = v
+            if p90 is None and 10 * cum >= 9 * tw:
+                p90 = v
+        expected[lang] = (med, p90)
+    got = {
+        r["lang"]: (r["w_med"], r["w_p90"])
+        for r in _rows("agg_weighted_percentiles", spark, sf_dir)
+    }
+    assert got == expected
+
+
+def test_weighted_percentiles_skew_and_ties(spark, tmp_path):
+    """Heavy weight concentration: one giant-weight doc holds >90% of
+    the mass, so both percentiles must land ON that doc's length, and
+    value ties must merge (condition evaluated on the tie group's full
+    prefix). Also covers a constant-length group (lo == hi -> single
+    bucket)."""
+    import pandas as pd
+
+    rows = (
+        [("en", 100, "x " * 9)] * 5          # 5 docs, len 100, w=10 each
+        + [("en", 500, "y " * 999)]           # w=1000: >90% of en mass
+        + [("de", 42, "z " * 4)] * 7          # constant length group
+    )
+    pd.DataFrame(
+        [(lang, n, t) for lang, n, t in rows],
+        columns=["lang", "n_chars", "text"],
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    got = {
+        r["lang"]: (r["w_med"], r["w_p90"])
+        for r in _rows("agg_weighted_percentiles", spark, str(tmp_path))
+    }
+    assert got == {"en": (500, 500), "de": (42, 42)}
+
+
+def test_asof_nearest_matches_bruteforce(spark, sf_dir, duck):
+    """Independent implementation: per-purchase python loop over that
+    user's clicks picking min |gap| (tie -> backward; within a side,
+    highest id backward / lowest id forward) must equal the
+    single-shuffle union-window plan."""
+    clicks: dict = {}
+    for uid, us, eid in duck.execute(
+        "SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)), event_id"
+        " FROM events WHERE event_type = 'click'"
+    ).fetchall():
+        clicks.setdefault(uid, []).append((us, eid))
+    expected = {}
+    for uid, us, eid in duck.execute(
+        "SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)), event_id"
+        " FROM events WHERE event_type = 'purchase'"
+    ).fetchall():
+        cand = clicks.get(uid, [])
+        back = max(((cus, cid) for cus, cid in cand if cus <= us), default=None)
+        fwd = min(((cus, cid) for cus, cid in cand if cus > us), default=None)
+        if back is None and fwd is None:
+            continue
+        if back is not None and (fwd is None or us - back[0] <= fwd[0] - us):
+            expected[eid] = (back[1], back[0] - us, "back")
+        else:
+            expected[eid] = (fwd[1], fwd[0] - us, "forward")
+    got = {
+        r["purchase_id"]: (r["click_id"], r["gap_us"], r["direction"])
+        for r in _rows("join_asof_nearest", spark, sf_dir)
+    }
+    assert got == expected
