@@ -971,3 +971,69 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap_us"),
         )
     )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM orders o
+WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+GROUP BY o.o_orderpriority
+""",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join: the selective dimension side
+    (high-balance customers) is collapsed into a fixed-size hash BITMAP
+    (2^20 bits as 2^14 bit_or-aggregated words — bounded METADATA
+    regardless of dim cardinality) that prefilters the fact side BEFORE
+    its shuffle via a broadcast join + bit test; the exact left-semi
+    join that follows removes the bitmap's false positives (~n/m, 0.1%
+    at 1k keys), so the result equals the plain semi-join bit-for-bit.
+    This is the manual form of Spark's row-level runtime filtering
+    (spark.sql.optimizer.runtime.bloomFilter.*, whose bloom_filter_agg
+    is not registered for end-user SQL): at 100 TB the win is shuffle
+    volume — the fact side sheds non-matching rows at the scan, paying
+    one tiny (≤16k-row) aggregate + broadcast for the filter. Nothing
+    is ever collected to the driver — the bitmap rides a broadcast
+    join, so the same plan runs unchanged on a 1000-executor cluster.
+    """
+    n_bits = 1 << 20  # power of two: pmod compiles to a mask
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    bitmap = (
+        cust.select(F.pmod(F.xxhash64("c_custkey"), F.lit(n_bits)).alias("h"))
+        .select(
+            (F.col("h") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    prefiltered = (
+        orders.withColumn(
+            "h", F.pmod(F.xxhash64("o_custkey"), F.lit(n_bits))
+        )
+        .withColumn("word", (F.col("h") / 64).cast("long"))
+        .withColumn(
+            "probe", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT))")
+        )
+        .join(F.broadcast(bitmap), "word", "inner")
+        .filter(F.col("bits").bitwiseAND(F.col("probe")) != 0)
+    )
+    exact = prefiltered.join(
+        cust.select("c_custkey").hint("broadcast"),
+        prefiltered.o_custkey == F.col("c_custkey"),
+        "left_semi",
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -453,3 +453,96 @@ def stats_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_intercept"
         ),
     )
+
+
+@query(
+    "stats_welch_ttest",
+    oracle="""
+WITH m AS (
+  SELECT lang, doc_id % 2 AS cohort,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS s,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+  FROM documents GROUP BY lang, doc_id % 2
+),
+ab AS (
+  SELECT a.lang,
+         a.n AS n_a, b.n AS n_b,
+         CAST(a.s AS DOUBLE) / a.n AS mean_a,
+         CAST(b.s AS DOUBLE) / b.n AS mean_b,
+         (CAST(a.ss AS DOUBLE) - (CAST(a.s AS DOUBLE) * a.s) / a.n) / (a.n - 1)
+           AS var_a,
+         (CAST(b.ss AS DOUBLE) - (CAST(b.s AS DOUBLE) * b.s) / b.n) / (b.n - 1)
+           AS var_b
+  FROM m a JOIN m b ON a.lang = b.lang AND a.cohort = 0 AND b.cohort = 1
+)
+SELECT lang, n_a, n_b,
+       ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+       ROUND((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+       ROUND(((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b))
+             / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6) AS df_welch
+FROM ab
+""",
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of document length between two
+    hash cohorts (doc_id parity — the A/B-split shape every curation
+    experiment uses) per language, with the Welch–Satterthwaite degrees
+    of freedom. The reference computes no statistics (main.py stops at
+    CSV export); this is the experiment-readout primitive a corpus
+    intervention (new filter, new source) is judged with.
+
+    Shape: ONE map-side-combined groupBy collapses the corpus to
+    (lang × 2) integer moment rows (n, Σx, Σx²) — exact BIGINT
+    arithmetic survives any row count since n_chars is bounded; the
+    self-join and every double expression run on that ≤12-row frame.
+    Determinism: mean/variance/t/df are single expressions with
+    identical parenthesization on both engines (each IEEE op correctly
+    rounded), published at 6 dp."""
+    m = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", (F.col("doc_id") % 2).alias("cohort"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("s"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("ss"),
+        )
+    )
+    a = m.filter(F.col("cohort") == 0).select(
+        "lang", F.col("n").alias("n_a"), F.col("s").alias("s_a"),
+        F.col("ss").alias("ss_a"),
+    )
+    b = m.filter(F.col("cohort") == 1).select(
+        "lang", F.col("n").alias("n_b"), F.col("s").alias("s_b"),
+        F.col("ss").alias("ss_b"),
+    )
+    j = a.join(b, "lang")
+    mean_a = F.col("s_a").cast("double") / F.col("n_a")
+    mean_b = F.col("s_b").cast("double") / F.col("n_b")
+    var_a = (
+        F.col("ss_a").cast("double")
+        - (F.col("s_a").cast("double") * F.col("s_a")) / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("ss_b").cast("double")
+        - (F.col("s_b").cast("double") * F.col("s_b")) / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    se2_a = var_a / F.col("n_a")
+    se2_b = var_b / F.col("n_b")
+    return j.select(
+        "lang",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round((mean_a - mean_b) / F.sqrt(se2_a + se2_b), 6).alias("t_stat"),
+        F.round(
+            ((se2_a + se2_b) * (se2_a + se2_b))
+            / (
+                se2_a * se2_a / (F.col("n_a") - 1)
+                + se2_b * se2_b / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("df_welch"),
+    )

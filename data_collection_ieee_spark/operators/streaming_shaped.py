@@ -1113,3 +1113,65 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("peak_in")).cast("int").alias("peak_concurrency"),
         )
     )
+
+
+@query(
+    "events_attribution",
+    oracle=f"""
+WITH chan AS (
+  SELECT event_type, value,
+         COALESCE(last_value(CASE WHEN event_type <> 'purchase'
+                                  THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  'direct') AS channel
+  FROM events
+)
+SELECT channel,
+       COUNT(*) AS n_purchases,
+       {sql_dsum('value')} AS attributed_value
+FROM chan
+WHERE event_type = 'purchase'
+GROUP BY channel
+""",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase's value is credited to the
+    user's most recent PRIOR non-purchase event type (the "channel");
+    purchases with no prior touch credit 'direct'. The classic
+    marketing/telemetry rollup, and the window shape — last-matching-
+    event-before-me with an exclusive frame end — that generalizes to
+    "blame the config change before each crash" in ops pipelines.
+
+    Shape: ONE shuffle on user_id sorts each user's history once;
+    `last(..., ignoreNulls) ROWS UNBOUNDED..−1` runs linearly inside
+    each partition (no self-join, no per-purchase rescan); the surviving
+    purchase rows hash-aggregate to ≤5 channel rows with map-side
+    combine. (event_id breaks timestamp ties so both engines pick the
+    same predecessor.) At 100 TB user_id is high-cardinality and
+    unskewed — the window parallelizes across the full cluster."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chan = ev.select(
+        "event_type",
+        "value",
+        F.coalesce(
+            F.last(
+                F.when(F.col("event_type") != "purchase", F.col("event_type")),
+                ignorenulls=True,
+            ).over(w),
+            F.lit("direct"),
+        ).alias("channel"),
+    )
+    return (
+        chan.filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            dsum("value").alias("attributed_value"),
+        )
+    )

@@ -878,3 +878,97 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_share"
         ),
     )
+
+
+_LINE_TOKENS = 8  # tokens per "line" (chunk) for corpus-level line dedup
+_LINE_KEYMUL = 1 << 20  # doc_id * this + idx: idx < 2^20 ⇒ unique bigint
+
+
+@query(
+    "text_line_dedup",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+chunks AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(t[i*{_LINE_TOKENS}+1 : i*{_LINE_TOKENS}+{_LINE_TOKENS}],
+                         ' ') AS chunk
+  FROM toks,
+       UNNEST(generate_series(
+         0, CAST(ceil(len(t) / {_LINE_TOKENS}.0) AS BIGINT) - 1)) AS u(i)
+),
+first AS (
+  SELECT chunk, MIN(doc_id * {_LINE_KEYMUL} + idx) AS fk
+  FROM chunks GROUP BY chunk
+)
+SELECT c.doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN c.doc_id * {_LINE_KEYMUL} + c.idx = f.fk
+                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+       COALESCE(string_agg(CASE WHEN c.doc_id * {_LINE_KEYMUL} + c.idx = f.fk
+                                THEN c.chunk END, ' ' ORDER BY c.idx), '')
+         AS cleaned_text
+FROM chunks c JOIN first f USING (chunk)
+GROUP BY c.doc_id
+""",
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line deduplication (the C4/RefinedWeb cleaning
+    step): every document is cut into fixed-width 8-token "lines",
+    each distinct line keeps only its FIRST corpus occurrence (ordered
+    by doc_id, then position), and documents are reassembled from
+    their surviving lines. Unlike dedup_substring_exact (which REPORTS
+    duplicated passages), this REWRITES the corpus — the output is the
+    cleaned training text plus per-document retention counts, which is
+    what a curation pipeline materializes.
+
+    Shape — the MapReduce line-dedup, fully shuffle-bounded: explode to
+    (line, doc, idx) rows; ONE groupBy on the line text finds the
+    min (doc,idx) occurrence key (map-side combined — the dominant
+    dup mass collapses before the shuffle); join back on the same
+    line key (shuffle reused, no second partitioning); ONE groupBy on
+    doc_id reassembles with an in-row sort_array — never a global
+    sort, never an all-pairs comparison. At 100 TB each shuffle is
+    hash-partitioned on high-cardinality keys (line text / doc_id) —
+    the plan is three map-side-combined exchanges regardless of
+    corpus size. First-occurrence keys are exact bigints
+    (doc_id·2^20 + idx), so both engines pick the same survivor."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(size(toks) / "
+                    f"{_LINE_TOKENS}.0) AS INT) - 1), "
+                    f"i -> array_join(slice(toks, i*{_LINE_TOKENS}+1, "
+                    f"{_LINE_TOKENS}), ' '))"
+                )
+            ).alias("idx", "chunk"),
+        )
+        .withColumn(
+            "key", F.col("doc_id") * F.lit(_LINE_KEYMUL) + F.col("idx")
+        )
+    )
+    first = chunks.groupBy("chunk").agg(F.min("key").alias("fk"))
+    kept = chunks.join(first, "chunk").withColumn(
+        "is_first", F.col("key") == F.col("fk")
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("is_first").cast("long")).alias("kept_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_first"),
+                            F.struct(F.col("idx"), F.col("chunk")),
+                        )
+                    )
+                ),
+                lambda s: s.chunk,
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )

@@ -469,3 +469,114 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("int").alias("max_streak_days"),
         F.count("*").cast("int").alias("n_streaks"),
     )
+
+
+@query(
+    "win_interpolate_linear",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, MAX(value) AS v
+  FROM events WHERE value > 200 GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type, MIN(d) AS lo, MAX(d) AS hi FROM obs GROUP BY event_type
+),
+spine AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+  FROM b
+),
+s AS (
+  SELECT spine.event_type, spine.d, obs.v
+  FROM spine LEFT JOIN obs ON spine.event_type = obs.event_type
+                          AND spine.d = obs.d
+),
+w AS (
+  SELECT event_type, d, v,
+         last_value(v IGNORE NULLS) OVER back AS v0,
+         last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+           OVER back AS d0,
+         first_value(v IGNORE NULLS) OVER fwd AS v1,
+         first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+           OVER fwd AS d1
+  FROM s
+  WINDOW back AS (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fwd AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, d, v AS v_obs,
+       ROUND(CASE WHEN v IS NOT NULL THEN v
+                  WHEN v0 IS NOT NULL AND v1 IS NOT NULL
+                  THEN v0 + (v1 - v0)
+                       * (CAST(date_diff('day', d0, d) AS DOUBLE)
+                          / date_diff('day', d0, d1))
+             END, 6) AS v_interp
+FROM w
+""",
+)
+def win_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of a sparse daily series over a dense date
+    spine — the standard-imputation twin of date_series_fill's
+    zero-fill: per event type, days with no qualifying observation get
+    the straight-line value between the nearest observed neighbors
+    (NULL outside the observed range; no extrapolation). Sensor/metric
+    backfill in one declarative plan.
+
+    Shape: the observation frame is one map-side-combined groupBy; the
+    spine explodes from the tiny per-type bounds frame (never a second
+    full-table scan); neighbor lookup is the two-directional
+    `last/first(…, ignoreNulls)` running window — one shuffle on
+    event_type, linear within partitions, no self-join and no
+    per-gap rescan. Determinism: interpolation is a single double
+    expression with identical parenthesization on both engines
+    (day-diffs are exact integers), published at 6 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.filter(F.col("value") > 200)
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.max("value").alias("v"))
+    )
+    bounds = obs.groupBy("event_type").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    s = spine.join(obs, ["event_type", "d"], "left")
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v_not_null_day = F.when(F.col("v").isNotNull(), F.col("d"))
+    w = s.select(
+        "event_type",
+        "d",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("v0"),
+        F.last(v_not_null_day, ignorenulls=True).over(back).alias("d0"),
+        F.first("v", ignorenulls=True).over(fwd).alias("v1"),
+        F.first(v_not_null_day, ignorenulls=True).over(fwd).alias("d1"),
+    )
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).when(
+        F.col("v0").isNotNull() & F.col("v1").isNotNull(),
+        F.col("v0")
+        + (F.col("v1") - F.col("v0"))
+        * (
+            F.datediff("d", "d0").cast("double")
+            / F.datediff("d1", "d0")
+        ),
+    )
+    return w.select(
+        "event_type",
+        "d",
+        F.col("v").alias("v_obs"),
+        F.round(interp, 6).alias("v_interp"),
+    )

@@ -1,0 +1,190 @@
+"""Focused semantics tests for the round-9 surface additions:
+text_line_dedup, join_bloom_prefilter, events_attribution,
+win_interpolate_linear, stats_welch_ttest. Each is tested on a
+hand-built frame with an independently computed expected answer (the
+DuckDB oracle covers fixture-scale parity; these pin the edge
+semantics the fixtures may never exercise).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from pyspark.sql import functions as F
+
+from data_collection_ieee_spark.operators.joins import join_bloom_prefilter
+from data_collection_ieee_spark.operators.streaming_shaped import events_attribution
+from data_collection_ieee_spark.operators.text_analysis import text_line_dedup
+from data_collection_ieee_spark.operators.windows import win_interpolate_linear
+from data_collection_ieee_spark.catalog import load_table
+
+
+def test_line_dedup_first_occurrence_and_reassembly(spark, tmp_path, sf_dir):
+    # doc 1: chunks A B   doc 2: chunks A C   doc 3: chunk B
+    # (8 tokens per chunk; A/B/C are distinct 8-token lines)
+    a = " ".join(["a"] * 8)
+    b = " ".join(["b"] * 8)
+    c = " ".join(["c"] * 8)
+    rows = [
+        (1, f"{a} {b}", "en", "s", 0),
+        (2, f"{a} {c}", "en", "s", 0),
+        (3, b, "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = tmp_path / "documents.parquet"
+    df.coalesce(1).write.mode("overwrite").parquet(str(out))
+    # load_table reads <dir>/documents.parquet
+    got = {
+        r["doc_id"]: r
+        for r in text_line_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got[1]["n_chunks"] == 2 and got[1]["kept_chunks"] == 2
+    assert got[1]["cleaned_text"] == f"{a} {b}"
+    # doc 2 loses chunk A (first seen in doc 1), keeps C
+    assert got[2]["n_chunks"] == 2 and got[2]["kept_chunks"] == 1
+    assert got[2]["cleaned_text"] == c
+    # doc 3 loses its only chunk -> empty cleaned text, not NULL
+    assert got[3]["n_chunks"] == 1 and got[3]["kept_chunks"] == 0
+    assert got[3]["cleaned_text"] == ""
+
+
+def test_line_dedup_short_tail_chunk_kept(spark, tmp_path):
+    # a 10-token doc -> one full 8-token chunk + one 2-token tail
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(7, text, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    row = text_line_dedup(spark, str(tmp_path)).collect()[0]
+    assert row["n_chunks"] == 2 and row["kept_chunks"] == 2
+    assert row["cleaned_text"] == text
+
+
+def test_bloom_prefilter_equals_plain_semijoin(spark, sf_dir):
+    got = {
+        r["o_orderpriority"]: (r["n_orders"], round(r["total_price"], 2))
+        for r in join_bloom_prefilter(spark, sf_dir).collect()
+    }
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    orders = load_table(spark, sf_dir, "orders")
+    plain = (
+        orders.join(
+            cust.select("c_custkey"),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("tp"),
+        )
+    )
+    want = {
+        r["o_orderpriority"]: (r["n"], round(r["tp"], 2)) for r in plain.collect()
+    }
+    assert got == want
+
+
+def test_attribution_last_touch_and_direct(spark, tmp_path):
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [
+        # user 1: view -> click -> purchase(10) => click
+        (1, ts(0), 1, "view", 1.0, ""),
+        (2, ts(1), 1, "click", 1.0, ""),
+        (3, ts(2), 1, "purchase", 10.0, ""),
+        # user 1 again: purchase(5) right after -> last non-purchase
+        # BEFORE it is still the click (purchases never self-attribute)
+        (4, ts(3), 1, "purchase", 5.0, ""),
+        # user 2: purchase with no prior events => direct
+        (5, ts(0), 2, "purchase", 7.0, ""),
+        # user 3: signup AFTER the purchase must not attribute
+        (6, ts(5), 3, "purchase", 3.0, ""),
+        (7, ts(6), 3, "signup", 1.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["channel"]: (r["n_purchases"], r["attributed_value"])
+        for r in events_attribution(spark, str(tmp_path)).collect()
+    }
+    assert got == {"click": (2, 15.0), "direct": (2, 10.0)}
+
+
+def test_interpolate_linear_gap_values_and_no_extrapolation(spark, tmp_path):
+    t0 = datetime.datetime(2024, 1, 1, 12)
+
+    def ts(d):
+        return t0 + datetime.timedelta(days=d)
+
+    # observed (value>200) on days 0 and 3: 300 and 360 -> days 1, 2
+    # interpolate to 320, 340; day 4 observed low value is filtered out
+    # entirely so the spine ends at day 3 (no extrapolation row).
+    rows = [
+        (1, ts(0), 1, "click", 300.0, ""),
+        (2, ts(1), 1, "click", 50.0, ""),  # below threshold: a gap day
+        (3, ts(3), 1, "click", 360.0, ""),
+        (4, ts(4), 1, "click", 10.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = sorted(
+        win_interpolate_linear(spark, str(tmp_path)).collect(),
+        key=lambda r: r["d"],
+    )
+    assert [str(r["d"]) for r in out] == [
+        "2024-01-01",
+        "2024-01-02",
+        "2024-01-03",
+        "2024-01-04",
+    ]
+    assert [r["v_interp"] for r in out] == [300.0, 320.0, 340.0, 360.0]
+    assert [r["v_obs"] for r in out] == [300.0, None, None, 360.0]
+
+
+def test_welch_ttest_matches_reference_formula(spark, sf_dir, duck):
+    # recompute Welch t and df in plain Python from the raw fixture and
+    # compare to the operator (independent of the SQL oracle text)
+    rows = duck.execute(
+        "SELECT lang, doc_id % 2 AS c, n_chars FROM documents"
+    ).fetchall()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for lang, c, v in rows:
+        groups[(lang, c)].append(v)
+    from data_collection_ieee_spark.operators.stats import stats_welch_ttest
+
+    for r in stats_welch_ttest(spark, sf_dir).collect():
+        xa = groups[(r["lang"], 0)]
+        xb = groups[(r["lang"], 1)]
+        na, nb = len(xa), len(xb)
+        ma, mb = sum(xa) / na, sum(xb) / nb
+        va = sum((x - ma) ** 2 for x in xa) / (na - 1)
+        vb = sum((x - mb) ** 2 for x in xb) / (nb - 1)
+        t = (ma - mb) / math.sqrt(va / na + vb / nb)
+        df = (va / na + vb / nb) ** 2 / (
+            (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+        )
+        assert r["n_a"] == na and r["n_b"] == nb
+        assert abs(r["t_stat"] - t) < 1e-4
+        assert abs(r["df_welch"] - df) < max(1e-3, abs(df) * 1e-5)
