@@ -552,13 +552,21 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bites).
 
     Plan: one map-side-combined groupBy builds the corpus frequency
-    table (the "language model" — at 100 TB this is the materialized
-    vocab-count table, millions of rows, AQE-broadcastable or
-    shuffle-joined); exploded tokens re-join it and aggregate per doc
-    (second combine); the two corpus moments ride a 1-row broadcast.
-    The flag is an exact integer cross-multiplication
-    (2·sum_freq·T < ΣC²·n), decimal-accumulated on the Spark side to
-    match DuckDB's 128-bit sums at any volume."""
+    table (the "language model" — the vocab-count table, bounded by
+    VOCABULARY size, which Heaps' law keeps orders of magnitude under
+    corpus size); exploded tokens re-join it under an EXPLICIT
+    broadcast hint and aggregate per doc (second combine); the two
+    corpus moments ride a 1-row broadcast. The hint is load-bearing:
+    the token column has vocabulary cardinality, so a shuffle join
+    hash-partitions the full exploded corpus into ≤|vocab| effective
+    partitions — measured 20.6× per decade at sf1→sf10 (66-token
+    fixture vocab, SortMergeJoin) vs ~linear once broadcast. A corpus
+    whose vocab outgrows the broadcast threshold no longer HAS a
+    low-cardinality token key, and the hint should then be dropped —
+    but that regime is >100M distinct tokens, far past any natural
+    unigram vocabulary. The flag is an exact integer
+    cross-multiplication (2·sum_freq·T < ΣC²·n), decimal-accumulated
+    on the Spark side to match DuckDB's 128-bit sums at any volume."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
@@ -567,7 +575,7 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("c2"),
     )
     per_doc = (
-        toks.join(freq, "tok")
+        toks.join(F.broadcast(freq), "tok")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_tokens"), F.sum("c").alias("sum_freq"))
     )
