@@ -801,3 +801,52 @@ def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v"))).alias("w_med"),
         F.min(F.when(10 * F.col("cw") >= 9 * F.col("tw"), F.col("v"))).alias("w_p90"),
     )
+
+
+@query("agg_count_min_sketch")
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation over the event stream —
+    the heavy-hitter counting sketch that completes the approximate
+    family (HLL cardinality: agg_approx_distinct/sketch_reaggregate;
+    quantiles: agg_approx_quantiles; membership: join_bloom_prefilter).
+    Builds one CMS (ε=0.001, δ=0.01, fixed seed ⇒ deterministic) over
+    user_id-tagged event keys in a single distributed aggregate, then
+    reads estimates for the event-type keys back beside their exact
+    counts. No oracle by design (DuckDB has no CMS); the pytest pins
+    the CMS one-sided-error contract (estimate ≥ exact, bounded
+    relative overshoot).
+
+    Scale: the sketch is FIXED-SIZE regardless of stream volume (the
+    point of a sketch — ~w·d counters), merged associatively across
+    partitions by the JVM aggregate; the only driver transfer is that
+    bounded blob plus the ≤5-row exact side. At 100 TB this is the
+    shape of a streaming top-talkers monitor: one pass, KB of state."""
+    ev = load_table(spark, sf_dir, "events")
+    blob = bytes(
+        ev.agg(
+            F.expr(
+                "count_min_sketch(event_type, 0.001d, 0.99d, 42)"
+            ).alias("cms")
+        ).head()[0]
+    )
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("exact_n"))
+    rows = exact.collect()  # bounded: one row per event type (5)
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(blob)
+    est = [
+        (r["event_type"], r["exact_n"], int(cms.estimateCount(r["event_type"])))
+        for r in rows
+    ]
+    out = spark.createDataFrame(
+        est, "event_type string, exact_n long, cms_n long"
+    )
+    return out.select(
+        "event_type",
+        "exact_n",
+        "cms_n",
+        F.round(
+            (F.col("cms_n") - F.col("exact_n")).cast("double")
+            / F.col("exact_n"),
+            6,
+        ).alias("rel_overshoot"),
+    )

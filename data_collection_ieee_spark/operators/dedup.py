@@ -1751,3 +1751,70 @@ def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("new_old"))
         .alias("pair_scope"),
     )
+
+
+_EDIST_PFX = 12  # blocking prefix length (chars)
+_EDIST_MAX = 24  # max edit distance reported as a near-dup
+
+
+@query(
+    "dedup_editdist_blocked",
+    oracle=f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         levenshtein(a.text, b.text) AS dist
+  FROM d a JOIN d b
+    ON substr(a.text, 1, {_EDIST_PFX}) = substr(b.text, 1, {_EDIST_PFX})
+   AND a.doc_id < b.doc_id
+   AND abs(len(a.text) - len(b.text)) <= {_EDIST_MAX}
+)
+SELECT doc_a, doc_b, CAST(dist AS INT) AS dist
+FROM pairs WHERE dist <= {_EDIST_MAX}
+""",
+)
+def dedup_editdist_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) near-duplicate pairs — the
+    record-linkage flavor of the dedup ladder: candidate pairs share a
+    {_EDIST_PFX}-char prefix block AND a length band (|Δlen| ≤ dist
+    bound, a provable edit-distance lower bound, so the band loses no
+    true pair within the block), then exact Levenshtein confirms.
+    Complements the token/shingle family (ngram_jaccard, minhash) with
+    the character-level measure linkage pipelines use on titles/names.
+
+    Scale shape: the self-join is an EQUI-join on the block key — the
+    all-pairs frame never exists; candidate mass is Σ|block|², the
+    classic blocking bound, and at 100 TB the prefix key
+    hash-partitions across the cluster (skewed mega-blocks would get
+    AQE skew splitting). The Levenshtein verify is threshold-bounded
+    (`levenshtein(a, b, K)`: O(K·L) banded DP, -1 past K) so per-pair
+    cost is linear in doc length, not quadratic."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.substring("text", 1, _EDIST_PFX).alias("pfx"),
+        F.length("text").alias("len"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        "pfx",
+        F.col("len").alias("len_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        "pfx",
+        F.col("len").alias("len_b"),
+    )
+    pairs = a.join(b, "pfx").filter(
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= _EDIST_MAX)
+    )
+    return (
+        pairs.withColumn(
+            "dist", F.levenshtein("text_a", "text_b", _EDIST_MAX)
+        )
+        .filter(F.col("dist") != -1)
+        .select("doc_a", "doc_b", F.col("dist").cast("int").alias("dist"))
+    )

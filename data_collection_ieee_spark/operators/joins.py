@@ -1037,3 +1037,67 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@query(
+    "merge_scd2_history",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, ts AS valid_from, event_type
+  FROM seq WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+       valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from)
+            AS INT) AS version,
+       CASE WHEN lead(valid_from)
+                 OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL
+            THEN TRUE ELSE FALSE END AS is_current
+FROM changes
+""",
+)
+def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change log: each
+    user's event stream collapses to versioned attribute rows with
+    [valid_from, valid_to) ranges, a version number, and an is_current
+    flag — consecutive repeats of the same attribute value merge into
+    one validity span. The companion to merge_upsert (type-1 last-wins
+    overwrite): this is how a warehouse keeps HISTORY, and the shape a
+    CDC ingest job materializes daily.
+
+    Shape: one shuffle on user_id orders each key's history once;
+    change detection (lag), range close-out (lead), and version
+    numbering all reuse THAT SAME sort — three window functions, one
+    exchange, linear per partition. event_id breaks timestamp ties so
+    both engines keep the same row as the change point. At 100 TB
+    user_id is high-cardinality — the window parallelizes fully."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", F.col("ts").alias("valid_from"), "event_type")
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.row_number().over(wv).cast("int").alias("version"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    )

@@ -393,3 +393,51 @@ def scan_text_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _p(3).alias("event_type"),
         _p(4).cast("long").alias("value_cents"),
     )
+
+
+@query(
+    "scan_jsonl_nested",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       o_totalprice,
+       COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+FROM orders
+""",
+)
+def scan_jsonl_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-document JSONL roundtrip: orders are nested into one
+    document per customer ({custkey, n_orders, orders: [{orderkey,
+    totalprice}, …]}), written as JSON-lines, read back with an
+    EXPLICIT nested schema (array<struct> — no inference pass), and
+    flattened with explode. The document-db ingest shape (API exports,
+    crawled JSON) that a flat-table engine must round-trip without
+    loss; the oracle pins flatten(nest(x)) == x.
+
+    Scale: nesting is one map-side-combined groupBy on the document
+    key; the JSONL sink/scan is line-splittable (unlike the
+    reference's pretty-printed array, which cannot be parallel-read);
+    explode restores row grain without any shuffle. Doubles survive
+    bit-exactly via shortest-repr JSON printing + exact parse."""
+    path = _scratch("jsonl_nested")
+    od = load_table(spark, sf_dir, "orders")
+    nested = od.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.collect_list(F.struct("o_orderkey", "o_totalprice")).alias("orders"),
+    )
+    nested.write.mode("overwrite").json(path)
+    schema = (
+        "o_custkey long, n_orders long, "
+        "orders array<struct<o_orderkey: long, o_totalprice: double>>"
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.select(
+        "o_custkey",
+        "n_orders",
+        F.explode("orders").alias("o"),
+    ).select(
+        "o_custkey",
+        F.col("o.o_orderkey").alias("o_orderkey"),
+        F.col("o.o_totalprice").alias("o_totalprice"),
+        "n_orders",
+    )

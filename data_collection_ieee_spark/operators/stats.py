@@ -546,3 +546,76 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("df_welch"),
     )
+
+
+@query(
+    "stats_linreg_by_group",
+    oracle="""
+WITH pts AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(value AS DECIMAL(12,2)) AS y
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(CAST(x AS BIGINT) * x) AS BIGINT) AS sxx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx), 6)
+         AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx))
+                   * sx) / n, 6) AS intercept,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - CAST(sx AS DOUBLE) * sx)
+                * (n * syy - sy * sy)), 6) AS r2
+FROM m
+""",
+)
+def stats_linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment ordinary-least-squares trend: slope, intercept, and
+    R² of event value against time (epoch day) for every event type —
+    the drift detector behind "is this metric trending" monitoring
+    panels, and the per-group regression shape Spark's ML layer is
+    overkill for.
+
+    Shape: ONE map-side-combined groupBy collapses each group to its
+    five exact moments (integer x sums in BIGINT, y sums in exact
+    DECIMAL — order-independent at any volume); every double division
+    happens on the ≤5-row moments frame with identical
+    parenthesization on both engines, published at 6 dp."""
+    pts = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("x"),
+        F.col("value").cast("decimal(12,2)").alias("y"),
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x").cast("long") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    slope = num / den
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            (num * num)
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+    )

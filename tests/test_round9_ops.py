@@ -188,3 +188,115 @@ def test_welch_ttest_matches_reference_formula(spark, sf_dir, duck):
         assert r["n_a"] == na and r["n_b"] == nb
         assert abs(r["t_stat"] - t) < 1e-4
         assert abs(r["df_welch"] - df) < max(1e-3, abs(df) * 1e-5)
+
+
+def test_linreg_matches_numpy_polyfit(spark, sf_dir):
+    import numpy as np
+    import duckdb
+
+    from data_collection_ieee_spark.operators.stats import stats_linreg_by_group
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+                   CAST(value AS DECIMAL(12,2)) AS y
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+    con.close()
+    from collections import defaultdict
+
+    pts = defaultdict(lambda: ([], []))
+    for t, x, y in rows:
+        pts[t][0].append(float(x))
+        pts[t][1].append(float(y))
+    got = {r["event_type"]: r for r in stats_linreg_by_group(spark, sf_dir).collect()}
+    for t, (xs, ys) in pts.items():
+        slope, intercept = np.polyfit(np.array(xs), np.array(ys), 1)
+        r = got[t]
+        assert abs(r["slope"] - slope) < 1e-4
+        assert abs(r["intercept"] - intercept) < max(1e-3, abs(intercept) * 1e-4)
+        assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_scd2_versions_and_ranges(spark, tmp_path):
+    import datetime
+
+    from data_collection_ieee_spark.operators.joins import merge_scd2_history
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    # user 1: A A B A  -> versions A[0,2) B[2,3) A[3,-)
+    rows = [
+        (1, ts(0), 1, "A", 0.0, ""),
+        (2, ts(1), 1, "A", 0.0, ""),
+        (3, ts(2), 1, "B", 0.0, ""),
+        (4, ts(3), 1, "A", 0.0, ""),
+        (5, ts(0), 2, "C", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = merge_scd2_history(spark, str(tmp_path)).collect()
+    u1 = sorted((r for r in out if r["user_id"] == 1), key=lambda r: r["version"])
+    assert [r["event_type"] for r in u1] == ["A", "B", "A"]
+    assert [r["version"] for r in u1] == [1, 2, 3]
+    assert u1[0]["valid_from"] == ts(0) and u1[0]["valid_to"] == ts(2)
+    assert u1[1]["valid_from"] == ts(2) and u1[1]["valid_to"] == ts(3)
+    assert u1[2]["valid_to"] is None and u1[2]["is_current"]
+    # spans must tile: each valid_to equals the next valid_from
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"] and u2[0]["version"] == 1
+
+
+def test_editdist_blocked_finds_planted_pair_within_block(spark, tmp_path):
+    from data_collection_ieee_spark.operators.dedup import dedup_editdist_blocked
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "hazy")  # 1 substitution, same 12-char prefix
+    far = "zz" + base  # different prefix block: must NOT pair with base
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, near, "en", "s", len(near)),
+        (3, far, "en", "s", len(far)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["dist"] for r in
+           dedup_editdist_blocked(spark, str(tmp_path)).collect()}
+    assert out == {(1, 2): 1}  # cross-block pair (1,3) absent by design
+
+
+def test_count_min_sketch_one_sided_error(spark, sf_dir):
+    from data_collection_ieee_spark.operators.aggregates import agg_count_min_sketch
+
+    rows = agg_count_min_sketch(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["cms_n"] >= r["exact_n"]  # CMS never underestimates
+        # eps=0.001 of total stream (~1k rows at sf0.001) is << exact_n
+        assert r["rel_overshoot"] <= 0.05
+
+
+def test_jsonl_nested_roundtrip_preserves_rows(spark, sf_dir):
+    from data_collection_ieee_spark.operators.scans import scan_jsonl_nested
+
+    out = scan_jsonl_nested(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    assert out.count() == orders.count()
+    got = {
+        (r["o_custkey"], r["o_orderkey"]): r["o_totalprice"]
+        for r in out.collect()
+    }
+    for r in orders.select("o_custkey", "o_orderkey", "o_totalprice").collect():
+        assert got[(r["o_custkey"], r["o_orderkey"])] == r["o_totalprice"]
