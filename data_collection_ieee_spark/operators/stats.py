@@ -568,13 +568,16 @@ m AS (
   FROM pts GROUP BY event_type
 )
 SELECT event_type, n,
-       ROUND((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx), 6)
+       ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
          AS slope,
-       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx))
+       ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
                    * sx) / n, 6) AS intercept,
-       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-             / ((n * sxx - CAST(sx AS DOUBLE) * sx)
-                * (n * syy - sy * sy)), 6) AS r2
+       ROUND(((CAST(n AS DOUBLE) * sxy - sx * sy)
+              * (CAST(n AS DOUBLE) * sxy - sx * sy))
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
 FROM m
 """,
 )
@@ -603,8 +606,14 @@ def stats_linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
         F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    # n·sxx exceeds BIGINT near 10M rows/group (x ≈ epoch-day 2e4 ⇒
+    # sxx ≈ 8e14; ×n overflows 2^63) — promote to double BEFORE the
+    # product, identically on both engines, so the decade run survives
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
     slope = num / den
     return m.select(
         "event_type",
