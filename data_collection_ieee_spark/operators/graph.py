@@ -1,0 +1,171 @@
+"""Graph operators over the customer–supplier purchase graph
+(SURVEY.md §2C widening, round 9).
+
+The TPC-H-ish fixture implies a natural bipartite graph: an edge
+(customer, supplier) for every supplier whose part a customer bought
+(`lineitem ⋈ orders`, distinct pairs). The reference has no graph
+surface at all (main.py stops at CSV export); this module adds the two
+shapes a relationship-analytics layer needs beyond the dedup family's
+connected components (dedup.py `connected_components`): degree
+profiling (exact, oracled) and PageRank centrality (iterative, the
+canonical beyond-one-pass dataflow).
+
+Scale notes: edge derivation is one shuffle join + distinct; PageRank
+iterations are join + groupBy per round over the edge list — the
+standard distributed formulation whose cost is O(E) per round,
+hash-partitioned on node ids, with per-round `localCheckpoint` to keep
+the plan O(1) like the CC kernel (dedup.py:1284). Rank mass is
+accumulated in DECIMAL(38,18), so every round's sums are
+order-independent and the whole fixed-point is bit-deterministic
+across cluster layouts — float groupBy sums would make PageRank
+nondeterministic run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_collection_ieee_spark.catalog import load_table
+from data_collection_ieee_spark.registry import query
+
+_DAMPING = 0.85
+_PR_ITERS = 10
+_PR_TOPK = 20
+
+
+def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (customer, supplier) purchase edges, node ids
+    namespaced into one keyspace: customer → 2k, supplier → 2k+1."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "graph_degree_stats",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+cd AS (SELECT cust, COUNT(*) AS degree FROM edges GROUP BY cust),
+sd AS (SELECT supp, COUNT(*) AS degree FROM edges GROUP BY supp)
+SELECT 'customer' AS side, degree, COUNT(*) AS n_nodes
+FROM cd GROUP BY degree
+UNION ALL
+SELECT 'supplier' AS side, degree, COUNT(*) AS n_nodes
+FROM sd GROUP BY degree
+""",
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the purchase graph, both sides — the
+    profiling query every graph pipeline runs first (it decides hub
+    handling, skew strategy, and whether a broadcast of hot-node state
+    is needed — the same HOT_DEGREE question the CC kernel answers
+    with a constant). Two map-side-combined aggregates over the
+    distinct edge list; the histogram frames are tiny at any scale."""
+    edges = _purchase_edges(spark, sf_dir)
+    cd = (
+        edges.groupBy("cust_node")
+        .agg(F.count("*").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+        .select(F.lit("customer").alias("side"), "degree", "n_nodes")
+    )
+    sd = (
+        edges.groupBy("supp_node")
+        .agg(F.count("*").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+        .select(F.lit("supplier").alias("side"), "degree", "n_nodes")
+    )
+    return cd.unionByName(sd)
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    iters: int = _PR_ITERS,
+    damping: float = _DAMPING,
+) -> DataFrame:
+    """Distributed PageRank on an undirected edge list (symmetrized
+    internally): returns (node, rank). Fixed iteration count — the
+    production pattern for bounded-latency centrality refresh jobs.
+
+    Per round: contributions = rank/out_degree shipped along edges
+    (join on src — ONE shuffle keyed by node id), summed per dst in
+    exact DECIMAL(38,18) (order-independent — bit-deterministic under
+    any partitioning), then rank = (1−d)/N + d·Σ. Symmetrization
+    removes dangling nodes by construction (every node that appears
+    has an outgoing edge). `localCheckpoint` per round truncates
+    lineage so the plan stays O(1) across iterations (the CC-kernel
+    lesson, dedup.py:1315)."""
+    sym = edges.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+        )
+    )
+    sym = sym.localCheckpoint(eager=True)
+    deg = sym.groupBy("src").agg(F.count("*").alias("out_deg"))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # bounded scalar: node count
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            sym.join(deg, "src")
+            .join(ranks, sym.src == ranks.node)
+            .select(
+                "dst",
+                (F.col("rank") / F.col("out_deg"))
+                .cast("decimal(38,18)")
+                .alias("c"),
+            )
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(
+            summed, nodes.node == summed.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        # truncate lineage: without this the plan doubles every round
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+@query("graph_pagerank")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank centralities of the purchase graph with explicit
+    rank positions — "which suppliers/customers anchor the purchase
+    network". No SQL oracle by design (iterative fixed-point; DuckDB
+    has no reasonable mirror): tests/test_round9_ops.py pins the full
+    rank vector against an independent numpy power iteration, plus the
+    Σrank=1 mass invariant."""
+    ranks = pagerank(spark, _purchase_edges(spark, sf_dir))
+    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    return (
+        ranks.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= _PR_TOPK)
+        .select(
+            "pos",
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("side"),
+            (F.col("node") / 2).cast("long").alias("entity_key"),
+            F.round("rank", 9).alias("rank"),
+        )
+    )

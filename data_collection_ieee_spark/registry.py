@@ -65,6 +65,7 @@ def load_all() -> None:
         aggregates,
         articles_queries,
         dedup,
+        graph,
         joins,
         multimodal,
         pipeline,

@@ -300,3 +300,48 @@ def test_jsonl_nested_roundtrip_preserves_rows(spark, sf_dir):
     }
     for r in orders.select("o_custkey", "o_orderkey", "o_totalprice").collect():
         assert got[(r["o_custkey"], r["o_orderkey"])] == r["o_totalprice"]
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    import duckdb
+    import numpy as np
+
+    from data_collection_ieee_spark.operators.graph import (
+        _DAMPING,
+        _PR_ITERS,
+        _purchase_edges,
+        pagerank,
+    )
+
+    con = duckdb.connect()
+    raw = con.execute(
+        f"""SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+            FROM '{sf_dir}/lineitem.parquet' l
+            JOIN '{sf_dir}/orders.parquet' o ON l.l_orderkey = o.o_orderkey"""
+    ).fetchall()
+    con.close()
+    edges = set()
+    for s, d in raw:
+        edges.add((s, d))
+        edges.add((d, s))
+    nodes = sorted({s for s, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(_PR_ITERS):
+        contrib = np.zeros(n)
+        per_src = r / out_deg
+        for s, d in edges:
+            contrib[idx[d]] += per_src[idx[s]]
+        r = (1.0 - _DAMPING) / n + _DAMPING * contrib
+    got = {
+        row["node"]: row["rank"]
+        for row in pagerank(spark, _purchase_edges(spark, sf_dir)).collect()
+    }
+    assert len(got) == n
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conservation
+    for node, rank in got.items():
+        assert abs(rank - r[idx[node]]) < 1e-9
