@@ -850,3 +850,107 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_overshoot"),
     )
+
+
+# Heavy-hitter threshold: report every token whose corpus frequency
+# exceeds total/K. Per-partition Misra–Gries with K counters is the
+# candidate stage: pigeonhole guarantees any token with global count
+# > N/K exceeds n_p/K in at least one partition, so the union of
+# per-partition sketches is a SUPERSET of the true heavy hitters —
+# the exact verify pass then removes the false positives, making the
+# final answer exact (and hash-oracled).
+_HH_K = 200
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+tot AS (SELECT COUNT(*) AS total FROM tok)
+SELECT t.token, COUNT(*) AS cnt,
+       round(CAST(COUNT(*) AS DOUBLE) / tot.total, 6) AS share
+FROM tok t, tot
+GROUP BY t.token, tot.total
+HAVING COUNT(*) * {_HH_K} > tot.total
+""",
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens with frequency > N/200) via
+    the two-pass Misra–Gries pattern — the scale-correct alternative
+    to a full vocabulary groupBy when the token space is enormous and
+    the answer is tiny.
+
+    Pass 1 (candidates): per-partition Misra–Gries summaries with
+    K=200 counters each, run inside ``mapInPandas`` over the raw
+    document partitions (tokenization stays in the Arrow batch, no
+    exploded-token shuffle). Each partition emits at most K candidate
+    tokens plus one sentinel row carrying its token count (so the
+    corpus total needs no extra scan); the sketch output is a bounded
+    ~K x partitions frame, checkpointed once and broadcast.
+
+    Pass 2 (verify): exact counts of ONLY the candidate tokens — the
+    explode is filtered map-side by the broadcast candidate set before
+    the shuffle, so the aggregation exchanges |candidates| x
+    |partitions| combined rows instead of |vocabulary|. Tokens at or
+    under the N/K threshold are dropped; the result is exactly the set
+    an (unaffordable) full groupBy + HAVING would return, which is
+    what the DuckDB oracle runs at fixture scale.
+
+    The threshold compare is integer (cnt * K > N) — no float
+    boundary; `share` is a single division rounded to 6dp.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        n_tokens = 0
+        for pdf in batches:
+            for text in pdf["text"]:
+                toks = text.split(" ")
+                n_tokens += len(toks)
+                for tok in toks:
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < _HH_K:
+                        counters[tok] = 1
+                    else:
+                        dead = []
+                        for key in counters:
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del counters[key]
+        # sentinel row (token NULL) carries the partition token count so
+        # the corpus total needs no third scan of the documents
+        yield pd.DataFrame(
+            {
+                "token": list(counters.keys()) + [None],
+                "part_total": [None] * len(counters) + [n_tokens],
+            }
+        )
+
+    sketch = docs.mapInPandas(
+        mg_partition, "token string, part_total long"
+    ).localCheckpoint(eager=True)  # bounded: ≤ (K+1) x n_partitions rows
+    candidates = sketch.filter(F.col("token").isNotNull()).select("token").distinct()
+    total = sketch.filter(F.col("token").isNull()).groupBy().agg(
+        F.sum("part_total").alias("total")
+    )
+
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    exact = (
+        tok.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+    )
+    return exact.filter(F.col("cnt") * _HH_K > F.col("total")).select(
+        "token",
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("share"),
+    )

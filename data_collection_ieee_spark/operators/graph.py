@@ -182,3 +182,111 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rank", 9).alias("rank"),
         )
     )
+
+
+_BFS_MAX_HOPS = 8
+
+
+@query(
+    "graph_bfs_hops",
+    oracle=f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT DISTINCT l.l_suppkey * 2 + 1 AS src, o.o_custkey * 2 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+hub AS (
+  SELECT src AS node FROM edges WHERE src % 2 = 1
+  GROUP BY src ORDER BY COUNT(*) DESC, src ASC LIMIT 1
+),
+bfs(node, hop) AS (
+  SELECT node, 0 FROM hub
+  UNION
+  SELECT e.dst, b.hop + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.hop < {_BFS_MAX_HOPS}
+),
+dist AS (SELECT node, MIN(hop) AS hop FROM bfs GROUP BY node),
+nodes AS (SELECT DISTINCT src AS node FROM edges)
+SELECT CAST(COALESCE(d.hop, -1) AS INT) AS hop,
+       CASE WHEN n.node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+       COUNT(*) AS n_nodes
+FROM nodes n LEFT JOIN dist d ON n.node = d.node
+GROUP BY 1, 2
+""",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop distance from the highest-degree supplier hub,
+    reported as a per-hop reachability histogram (hop, side, n_nodes;
+    unreached nodes at hop = -1) — "how many edges away is everyone
+    from the biggest hub", the reachability profile query behind
+    influence radius and cache-warming decisions.
+
+    Distributed frontier BFS: per hop, ONE equi-join of the (static,
+    pre-partitioned, checkpointed) edge list against the current
+    frontier plus a left-anti against the visited set — O(E) work per
+    hop keyed on node id, never an all-pairs or path enumeration. The
+    visited/frontier frames are localCheckpoint-ed per round so the
+    plan stays O(1) across hops (same lineage discipline as
+    :func:`pagerank` and the CC kernel, dedup.py). The per-hop
+    ``isEmpty`` is a bounded driver scalar — the standard iterative-
+    dataflow convergence check. The oracle is a recursive CTE over
+    (node, hop) pairs, which DuckDB bounds at V x hops rows; the
+    Spark side never materializes that relation.
+
+    Hop cap 8 (_BFS_MAX_HOPS): purchase graphs are small-diameter by
+    construction (bipartite, dense hubs); the cap bounds worst-case
+    rounds on pathological chains, and capped-out nodes report -1
+    exactly like the oracle's capped recursion.
+    """
+    edges = _purchase_edges(spark, sf_dir)
+    sym = (
+        edges.select(F.col("cust_node").alias("src"), F.col("supp_node").alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
+            )
+        )
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    hub = (
+        sym.filter(F.col("src") % 2 == 1)
+        .groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .orderBy(F.col("deg").desc(), F.col("src").asc())
+        .limit(1)
+        .collect()  # bounded: exactly one row (the source node id)
+    )[0]["src"]
+    frontier = spark.createDataFrame([(hub,)], "node long").localCheckpoint(
+        eager=True
+    )
+    visited = frontier.select("node", F.lit(0).alias("hop"))
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            sym.join(frontier, sym.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(hop).alias("hop"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    return (
+        nodes.join(visited, "node", "left")
+        .select(
+            F.coalesce(F.col("hop"), F.lit(-1)).cast("int").alias("hop"),
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("side"),
+        )
+        .groupBy("hop", "side")
+        .agg(F.count("*").alias("n_nodes"))
+    )

@@ -627,3 +627,70 @@ def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dot") / (F.sqrt("m2") * F.sqrt("g2")), 6
         ).alias("cos_to_global"),
     )
+
+
+@query(
+    "embed_gram_matrix",
+    oracle="""
+SELECT t1.i, t2.j,
+       round(CAST(SUM(CAST(CAST(e.embedding[t1.i + 1] AS DOUBLE)
+                           * CAST(e.embedding[t2.j + 1] AS DOUBLE)
+                           AS DECIMAL(38,18))) AS DOUBLE), 6) AS g
+FROM embeddings e, range(0, 64) t1(i), range(0, 64) t2(j)
+WHERE t2.j >= t1.i
+GROUP BY t1.i, t2.j
+""",
+)
+def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram matrix XᵀX of the embedding corpus (upper triangle:
+    d(d+1)/2 = 2080 cells for d=64) — the one-pass statistic behind
+    PCA / whitening / low-rank compression of an embedding table: the
+    covariance eigendecomposition runs driver-side on this tiny frame
+    while the data-sized work stays distributed.
+
+    Plan shape: each row expands to its d(d+1)/2 upper-triangle
+    products via nested ``transform`` + ``flatten`` + one ``explode``
+    — all JVM codegen, no self-join (a posexplode self-join on vec_id
+    would shuffle the N x d element table twice; this shuffles
+    nothing but the combined partials). The hash aggregate has only
+    2080 groups, so map-side combine collapses the exploded mass to
+    |groups| x |partitions| rows before the single shuffle — the same
+    cost profile at any N. Per-cell products are doubles (bitwise
+    identical across engines); partial sums are DECIMAL(38,18) so the
+    total is order-independent under any partitioning (the PageRank /
+    perplexity determinism device). The embedding dim is read from the
+    data (one bounded head row), not hardcoded.
+
+    The Arrow alternative (per-batch numpy X.T @ X) is ~10x less row
+    generation but its per-batch float partials depend on batch
+    boundaries — acceptable for training, not for a bit-deterministic
+    oracle gate; the codegen explode keeps exactness AND linear scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    d = emb.select(F.size("embedding").alias("d")).head()[0]  # bounded: 1 row
+    idx = F.sequence(F.lit(0), F.lit(d - 1))
+    cells = emb.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(d - 1)),
+                        lambda j: F.struct(
+                            i.cast("long").alias("i"),
+                            j.cast("long").alias("j"),
+                            (
+                                F.element_at("embedding", (i + 1).cast("int")).cast("double")
+                                * F.element_at("embedding", (j + 1).cast("int")).cast("double")
+                            )
+                            .cast("decimal(38,18)")
+                            .alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("c")
+    )
+    return cells.groupBy(
+        F.col("c.i").alias("i"), F.col("c.j").alias("j")
+    ).agg(F.round(F.sum("c.p").cast("double"), 6).alias("g"))

@@ -1175,3 +1175,66 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("attributed_value"),
         )
     )
+
+
+@query(
+    "events_seasonal_profile",
+    oracle="""
+WITH cells AS (
+  SELECT event_type,
+         dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+         hour(CAST(ts AS TIMESTAMP)) AS hod,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           AS avg_value
+  FROM events GROUP BY 1, 2, 3
+),
+tot AS (SELECT event_type, SUM(n_events) AS type_total FROM cells GROUP BY 1)
+SELECT c.event_type, CAST(c.dow AS INT) AS dow, CAST(c.hod AS INT) AS hod,
+       c.n_events, round(c.avg_value, 6) AS avg_value,
+       round(CAST(c.n_events * 168 AS DOUBLE) / t.type_total, 6)
+         AS load_ratio
+FROM cells c JOIN tot t ON c.event_type = t.event_type
+""",
+)
+def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonal baseline per event type: event count and
+    exact average value per (type, day-of-week, hour-of-day) cell,
+    plus each cell's load ratio vs a uniform week (n·168/type_total —
+    >1 means the cell is hotter than average). This is the profile a
+    monitoring pipeline trains once and compares live traffic against
+    (the denominator behind "traffic is 3x normal for Tuesday 9am"),
+    and the seasonality-aware twin of events_anomaly_zscore's global
+    baseline.
+
+    One map-side-combined groupBy over (type, dow, hod) — at most
+    |types| x 168 cells, so the shuffle is combiner-bounded at ANY
+    input scale; the per-type totals come from re-aggregating those
+    cells (3-row frame, broadcast back). Averages are decimal-sum /
+    count (order-independent); day-of-week alignment: Spark's
+    dayofweek() is 1=Sunday..7, DuckDB's 0=Sunday..6, so the Spark
+    side subtracts 1 rather than leaving an off-by-one for the reader
+    to discover.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        (F.sum(F.col("value").cast("decimal(12,2)")).cast("double") / F.count("*")).alias(
+            "avg_value"
+        ),
+    )
+    tot = cells.groupBy("event_type").agg(F.sum("n_events").alias("type_total"))
+    return cells.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "hod",
+        "n_events",
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round(
+            (F.col("n_events") * 168).cast("double") / F.col("type_total"), 6
+        ).alias("load_ratio"),
+    )

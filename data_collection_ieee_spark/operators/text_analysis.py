@@ -980,3 +980,59 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("cleaned_text"),
     )
+
+
+@query(
+    "text_unigram_perplexity",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+lm AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+tot AS (SELECT COUNT(*) AS total FROM tok)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS INT) AS n_tokens,
+       round(CAST(-SUM(CAST(ln(CAST(lm.c AS DOUBLE) / tot.total)
+                            AS DECIMAL(38,18)))
+                  AS DOUBLE) / COUNT(*), 6) AS cross_entropy
+FROM tok t JOIN lm ON t.token = lm.token, tot
+GROUP BY t.doc_id
+""",
+)
+def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram
+    language model — the classic LM-based quality signal for
+    training-data curation (documents whose tokens are corpus-typical
+    score low; gibberish and off-distribution text score high; CCNet /
+    Gopher-style filtering thresholds on exactly this number).
+
+    Three map-side-combined shuffles, all keyed sensibly at 100 TB:
+    (1) token counts — the LM itself, one groupBy(token); (2) the
+    token-stream ⋈ LM join on token (shuffle hash join; the LM side is
+    vocabulary-sized, far smaller than the stream side after combine);
+    (3) per-doc aggregation on doc_id. The corpus total rides in as a
+    broadcast 1-row frame. Per-token ln() values are doubles (bitwise
+    identical across engines), but their per-doc SUM is made
+    order-independent by casting each term to DECIMAL(38,18) before
+    summing — same determinism device as the PageRank rank sums —
+    then one division and round(6) at the end.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    lm = tok.groupBy("token").agg(F.count("*").alias("c"))
+    # corpus total = Σc over the (vocabulary-sized) LM — no third scan
+    total = lm.groupBy().agg(F.sum("c").alias("total"))
+    term = F.log(F.col("c").cast("double") / F.col("total")).cast(
+        "decimal(38,18)"
+    )
+    return (
+        tok.join(lm, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.round(
+                (-F.sum(term)).cast("double") / F.count("*"), 6
+            ).alias("cross_entropy"),
+        )
+    )
