@@ -1101,3 +1101,92 @@ def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wv).cast("int").alias("version"),
         F.lead("valid_from").over(wv).isNull().alias("is_current"),
     )
+
+
+# Market-basket minimum support: a part pair must co-occur in at least
+# this many orders to be reported. 2 keeps fixture-scale output
+# non-trivial; the a-priori prune below scales its benefit with it.
+_MB_MINSUP = 2
+
+
+@query(
+    "orders_market_basket",
+    oracle=f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM baskets),
+singles AS (SELECT pk, COUNT(*) AS c1 FROM baskets GROUP BY pk),
+freq AS (SELECT pk, c1 FROM singles WHERE c1 >= {_MB_MINSUP}),
+pairs AS (
+  SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS c2
+  FROM baskets a
+  JOIN freq fa ON a.pk = fa.pk
+  JOIN baskets b ON a.ok = b.ok AND a.pk < b.pk
+  JOIN freq fb ON b.pk = fb.pk
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_MB_MINSUP}
+)
+SELECT p.p1, p.p2, p.c2 AS pair_orders,
+       round(CAST(p.c2 AS DOUBLE) / n.n_orders, 6) AS support,
+       round((CAST(p.c2 AS DOUBLE) * n.n_orders)
+             / (CAST(fa.c1 AS DOUBLE) * fb.c1), 6) AS lift
+FROM pairs p JOIN freq fa ON p.p1 = fa.pk JOIN freq fb ON p.p2 = fb.pk, n
+""",
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchased part pairs with support and lift — the
+    classic association-rule readout ("customers who bought X also
+    bought Y"), mined a-priori style.
+
+    Scale shape: the pair stage is a self-join of the distinct
+    (order, part) basket table on the ORDER key, so the blowup is
+    Σ k(k-1)/2 over basket sizes k — bounded by the small per-order
+    item count, never |parts|². Before it runs, the a-priori prune
+    drops every part below minimum support via a broadcast semi-join
+    (a pair can only reach minsup if both members do), which shrinks
+    the self-join input proportionally as minsup rises. Singles
+    counts and the order total are vocabulary-/scalar-sized frames,
+    broadcast back for the lift math (identical single divisions,
+    6 dp). One partition-key observation for 100 TB: both self-join
+    sides hash on the SAME order key, so AQE plans it as a co-located
+    shuffle join with no extra exchange.
+    """
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n = baskets.groupBy().agg(F.count_distinct("ok").alias("n_orders"))
+    singles = baskets.groupBy("pk").agg(F.count("*").alias("c1"))
+    freq = singles.filter(F.col("c1") >= _MB_MINSUP)
+    pruned = baskets.join(F.broadcast(freq.select("pk")), "pk", "left_semi")
+    a = pruned.select(F.col("ok"), F.col("pk").alias("p1"))
+    b = pruned.select(F.col("ok"), F.col("pk").alias("p2"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("pair_orders"))
+        .filter(F.col("pair_orders") >= _MB_MINSUP)
+    )
+    fa = freq.select(F.col("pk").alias("p1"), F.col("c1").alias("c1a"))
+    fb = freq.select(F.col("pk").alias("p2"), F.col("c1").alias("c1b"))
+    return (
+        pairs.join(F.broadcast(fa), "p1")
+        .join(F.broadcast(fb), "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "pair_orders",
+            F.round(
+                F.col("pair_orders").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+            F.round(
+                (F.col("pair_orders").cast("double") * F.col("n_orders"))
+                / (F.col("c1a").cast("double") * F.col("c1b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -628,3 +628,166 @@ def stats_linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "stats_psi_drift",
+    oracle="""
+WITH ev AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+),
+mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+halved AS (
+  SELECT event_type, v,
+         CASE WHEN us < mid.mid THEN 'p' ELSE 'q' END AS half
+  FROM ev, mid
+),
+fb AS (
+  SELECT event_type, MIN(v) AS lo, MAX(v) AS hi
+  FROM halved WHERE half = 'p' GROUP BY event_type
+),
+bucketed AS (
+  SELECT h.event_type, h.half,
+         CASE WHEN fb.hi = fb.lo THEN 0
+              ELSE LEAST(9, GREATEST(0, CAST(FLOOR(
+                ((CAST(h.v AS DOUBLE) - CAST(fb.lo AS DOUBLE)) * 10.0)
+                / (CAST(fb.hi AS DOUBLE) - CAST(fb.lo AS DOUBLE))
+              ) AS BIGINT))) END AS bucket
+  FROM halved h JOIN fb ON h.event_type = fb.event_type
+),
+counts AS (
+  SELECT event_type, half, bucket, COUNT(*) AS cnt
+  FROM bucketed GROUP BY 1, 2, 3
+),
+totals AS (
+  SELECT event_type,
+         SUM(CASE WHEN half = 'p' THEN cnt ELSE 0 END) AS n_p,
+         SUM(CASE WHEN half = 'q' THEN cnt ELSE 0 END) AS n_q
+  FROM counts GROUP BY event_type
+),
+domain AS (
+  SELECT fb.event_type, r.range AS bucket FROM fb, range(0, 10) r
+),
+cells AS (
+  SELECT d.event_type, d.bucket,
+         GREATEST(CAST(COALESCE(cp.cnt, 0) AS DOUBLE) / t.n_p, 1e-6) AS p,
+         GREATEST(CAST(COALESCE(cq.cnt, 0) AS DOUBLE) / t.n_q, 1e-6) AS q,
+         t.n_p, t.n_q
+  FROM domain d
+  JOIN totals t ON d.event_type = t.event_type
+  LEFT JOIN counts cp ON cp.event_type = d.event_type
+       AND cp.bucket = d.bucket AND cp.half = 'p'
+  LEFT JOIN counts cq ON cq.event_type = d.event_type
+       AND cq.bucket = d.bucket AND cq.half = 'q'
+)
+SELECT event_type, CAST(n_p AS BIGINT) AS n_first, CAST(n_q AS BIGINT) AS n_second,
+       round(CAST(SUM(CAST((p - q) * ln(p / q) AS DECIMAL(38,18)))
+                  AS DOUBLE), 6) AS psi
+FROM cells GROUP BY event_type, n_p, n_q
+""",
+)
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second time
+    halves of each event type's value distribution — the standard
+    model-monitoring drift score (PSI < 0.1 stable, > 0.25 shifted).
+    Complements stats_ks_source (distribution vs distribution across
+    sources) and events_cusum_drift (sequential mean shift) with the
+    binned-share drift the feature-store dashboards actually plot.
+
+    Shape: the time midpoint is one bounded min/max aggregate
+    (broadcast back — no collect); first-half per-type bounds are a
+    5-row frame, broadcast; bucketing is a pure projection; then ONE
+    combiner-bounded groupBy to (type, half, bucket) cells — at most
+    |types| x 2 x 10 rows cross any shuffle, regardless of input
+    volume. Missing buckets are restored from an explicit
+    types x range(10) domain (both engines build the same domain) and
+    floored at 1e-6 per the standard PSI zero-cell convention. All
+    double expressions share one parenthesization with the oracle;
+    the 10-term PSI sum goes through DECIMAL(38,18).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    # integer floor-div: the micros sum exceeds 2^53, so a double /2
+    # would round where DuckDB's // floors — `div` stays in BIGINT
+    mid = ev.groupBy().agg(F.min("us").alias("mn"), F.max("us").alias("mx")).select(
+        F.expr("mn div 2 + mx div 2 + (mn % 2) * (mx % 2)").alias("mid")
+    )
+    halved = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        "v",
+        F.when(F.col("us") < F.col("mid"), F.lit("p")).otherwise(F.lit("q")).alias("half"),
+    )
+    fb = (
+        halved.filter(F.col("half") == "p")
+        .groupBy("event_type")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    vd = F.col("v").cast("double")
+    lod = F.col("lo").cast("double")
+    hid = F.col("hi").cast("double")
+    bucketed = halved.join(F.broadcast(fb), "event_type").select(
+        "event_type",
+        "half",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(9).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor(((vd - lod) * F.lit(10.0)) / (hid - lod)),
+                ),
+            )
+        )
+        .alias("bucket"),
+    )
+    counts = bucketed.groupBy("event_type", "half", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == "p", F.col("cnt")).otherwise(0)).alias("n_p"),
+        F.sum(F.when(F.col("half") == "q", F.col("cnt")).otherwise(0)).alias("n_q"),
+    )
+    domain = fb.select("event_type").crossJoin(
+        spark.range(10).select(F.col("id").alias("bucket"))
+    )
+    cp = counts.filter(F.col("half") == "p").select(
+        "event_type", "bucket", F.col("cnt").alias("cnt_p")
+    )
+    cq = counts.filter(F.col("half") == "q").select(
+        "event_type", "bucket", F.col("cnt").alias("cnt_q")
+    )
+    cells = (
+        domain.join(F.broadcast(totals), "event_type")
+        .join(F.broadcast(cp), ["event_type", "bucket"], "left")
+        .join(F.broadcast(cq), ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "n_p",
+            "n_q",
+            F.greatest(
+                F.coalesce(F.col("cnt_p"), F.lit(0)).cast("double") / F.col("n_p"),
+                F.lit(1e-6),
+            ).alias("p"),
+            F.greatest(
+                F.coalesce(F.col("cnt_q"), F.lit(0)).cast("double") / F.col("n_q"),
+                F.lit(1e-6),
+            ).alias("q"),
+        )
+    )
+    term = ((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).cast(
+        "decimal(38,18)"
+    )
+    return cells.groupBy("event_type", "n_p", "n_q").agg(
+        F.round(F.sum(term).cast("double"), 6).alias("psi")
+    ).select(
+        "event_type",
+        F.col("n_p").cast("long").alias("n_first"),
+        F.col("n_q").cast("long").alias("n_second"),
+        "psi",
+    )

@@ -149,3 +149,92 @@ def test_seasonal_profile_dow_alignment_and_ratio(spark, tmp_path):
     assert abs(c9["avg_value"] - 3.0) < 1e-9
     # load_ratio = n * 168 / type_total = 2 * 168 / 3
     assert abs(c9["load_ratio"] - round(2 * 168 / 3, 6)) < 1e-9
+
+
+def test_psi_drift_zero_when_halves_identical(spark, tmp_path):
+    # same value multiset in both time halves -> p == q in every
+    # bucket -> every PSI term is exactly (p-q)*ln(p/q) = 0.
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0]
+    rows = []
+    eid = 0
+    for day, _half in ((1, "p"), (20, "q")):
+        for v in vals:
+            rows.append(
+                (eid, datetime.datetime(2024, 1, day, 12, 0), 1, "view", v, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    _write(df, tmp_path, "events")
+    from data_collection_ieee_spark.operators.stats import stats_psi_drift
+
+    got = stats_psi_drift(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_first"] == 10 and r["n_second"] == 10
+    assert r["psi"] == 0.0
+
+
+def test_psi_drift_flags_planted_shift(spark, tmp_path):
+    # first half uniform over [0, 10); second half collapsed onto the
+    # top bucket -> large positive PSI, computed against an
+    # independent python mirror of the binning + floor rules.
+    first = [float(i) for i in range(10)]  # 0..9 -> lo=0, hi=9
+    second = [9.0] * 10
+    rows = []
+    eid = 0
+    for day, vals in ((1, first), (20, second)):
+        for v in vals:
+            rows.append(
+                (eid, datetime.datetime(2024, 1, day, 12, 0), 1, "view", v, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    _write(df, tmp_path, "events")
+    from data_collection_ieee_spark.operators.stats import stats_psi_drift
+
+    got = stats_psi_drift(spark, str(tmp_path)).collect()[0]
+    # python mirror
+    lo, hi = 0.0, 9.0
+    import collections
+
+    def bucket(v):
+        return min(9, max(0, math.floor((v - lo) * 10.0 / (hi - lo))))
+
+    cp = collections.Counter(bucket(v) for v in first)
+    cq = collections.Counter(bucket(v) for v in second)
+    psi = 0.0
+    for b in range(10):
+        p = max(cp.get(b, 0) / 10.0, 1e-6)
+        q = max(cq.get(b, 0) / 10.0, 1e-6)
+        psi += (p - q) * math.log(p / q)
+    assert got["psi"] > 1.0  # unambiguous drift
+    assert abs(got["psi"] - round(psi, 6)) < 1e-9
+
+
+def test_market_basket_support_and_lift(spark, tmp_path):
+    # baskets: o1={A,B,C} o2={A,B} o3={A,B} o4={C}
+    # pairs >=2: only (A,B) x3.  A=1, B=2, C=3 as part keys.
+    rows = [
+        (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2),
+        (3, 1), (3, 2),
+        (4, 3),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    _write(li, tmp_path, "lineitem")
+    from data_collection_ieee_spark.operators.joins import orders_market_basket
+
+    got = orders_market_basket(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["p1"], r["p2"], r["pair_orders"]) == (1, 2, 3)
+    assert abs(r["support"] - 0.75) < 1e-9  # 3 of 4 orders
+    assert abs(r["lift"] - round(3 * 4 / (3 * 3), 6)) < 1e-9
