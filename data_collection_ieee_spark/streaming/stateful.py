@@ -224,3 +224,98 @@ def cusum_drift(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---- Streaming heavy hitters (Misra–Gries top talkers) ----------------
+#
+# The streaming twin of the batch agg_heavy_hitters two-pass: per
+# event_type, a K-counter Misra–Gries summary of the user_id stream is
+# carried across micro-batches in the state store. The merged sketch
+# keeps the classic guarantee ONLINE: any user with a true share above
+# n_seen/K of that type's events so far is guaranteed to be among the
+# tracked candidates, and each tracked count is a lower bound within
+# n_seen/K of the truth — with O(K) state per key, forever, no matter
+# how many distinct users flow past. The batch side's exact verify pass
+# maps to a periodic lookup join in production; here the candidates ARE
+# the deliverable (top-talker / abuse-detection shape).
+
+HH_K = 64  # MG counters per event_type — state is O(K) per key
+HH_OUTPUT_SCHEMA = (
+    "event_type string, n_seen bigint, users array<bigint>, lower_bounds array<bigint>"
+)
+HH_STATE_SCHEMA = "users array<bigint>, counts array<bigint>, n_seen bigint"
+
+
+def _mg_merge(counters: dict, stream) -> None:
+    """Misra–Gries update of ``counters`` (≤ HH_K entries) in place."""
+    for uid in stream:
+        if uid in counters:
+            counters[uid] += 1
+        elif len(counters) < HH_K:
+            counters[uid] = 1
+        else:
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+
+
+def _update_hh_state(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    if state.exists:
+        users, counts, n_seen = state.get
+        counters = dict(zip(users, counts))
+    else:
+        counters, n_seen = {}, 0
+    # same determinism rule as the CUSUM kernel: chunk boundaries are
+    # execution artifacts, so concatenate the micro-batch and fix ONE
+    # order (event time, event_id tiebreak) before the order-sensitive
+    # sketch update
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+        uids = pdf["user_id"].to_numpy(dtype="int64")
+        _mg_merge(counters, uids.tolist())
+        n_seen += len(uids)
+    items = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
+    state.update(
+        ([int(u) for u, _ in items], [int(c) for _, c in items], n_seen)
+    )
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_seen": [n_seen],
+            "users": [[int(u) for u, _ in items]],
+            "lower_bounds": [[int(c) for _, c in items]],
+        }
+    )
+
+
+def heavy_hitters(events: DataFrame) -> DataFrame:
+    """Streaming per-event-type heavy-hitter candidates (Misra–Gries,
+    K=64) with counts carried across micro-batches — "which users
+    dominate each event stream", live. Guarantees (pinned in
+    tests/test_streaming.py): candidates ⊇ every user above the 1/K
+    share of that type's stream so far; tracked counts are lower
+    bounds undercounting by at most n_seen/K.
+
+    At unbounded scale: state is two K-length int64 arrays + a counter
+    per key in the state store; per micro-batch each key does one
+    Arrow transfer and O(rows) dict work. No rescans, no growth."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_hh_state,
+            outputStructType=HH_OUTPUT_SCHEMA,
+            stateStructType=HH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

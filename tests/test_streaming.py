@@ -465,3 +465,55 @@ def test_cusum_invariant_under_arrow_chunking(spark, tmp_path):
     assert results["one_chunk"] == results["tiny_chunks"]
     assert results["one_chunk"][0] == 300
     assert results["one_chunk"][3] == 1 and results["one_chunk"][4] is True
+
+
+def test_streaming_heavy_hitters_matches_reference_and_guarantee(spark, sf_dir):
+    """Misra–Gries top talkers across 3 micro-batches must equal a
+    pure-Python MG replay of the SAME arrival order (integer counters,
+    exact match), AND keep the classic guarantee: every user whose true
+    count exceeds n_seen/K appears among the candidates, with tracked
+    counts lower-bounding truth by at most n_seen/K."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from data_collection_ieee_spark.streaming import stateful
+
+    events = parity.read_events_stream(spark, sf_dir, n_files=3, files_per_trigger=1)
+    out = parity.run_to_memory(stateful.heavy_hitters(events), mode="update").collect()
+    final = {}
+    for r in out:
+        if (
+            r["event_type"] not in final
+            or r["n_seen"] > final[r["event_type"]]["n_seen"]
+        ):
+            final[r["event_type"]] = r
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").to_pydict()
+    n = len(tbl["event_id"])
+    rows = list(zip(tbl["ts"], tbl["event_id"], tbl["event_type"], tbl["user_id"]))
+    step = math.ceil(n / 3)
+    ref: dict[str, dict[int, int]] = {}
+    truth: dict[str, Counter] = {}
+    for b in range(3):
+        chunk = sorted(rows[b * step : (b + 1) * step])  # (ts, event_id)
+        for _ts, _eid, etype, uid in chunk:
+            stateful._mg_merge(ref.setdefault(etype, {}), [uid])
+            truth.setdefault(etype, Counter())[uid] += 1
+
+    assert set(final) == set(ref)
+    for etype, counters in ref.items():
+        r = final[etype]
+        n_seen = r["n_seen"]
+        assert n_seen == sum(truth[etype].values())
+        got = dict(zip(r["users"], r["lower_bounds"]))
+        assert got == {int(u): int(c) for u, c in counters.items()}, etype
+        # MG guarantees, vs exact truth:
+        thresh = n_seen / stateful.HH_K
+        for uid, true_cnt in truth[etype].items():
+            if true_cnt > thresh:
+                assert uid in got, (etype, uid)
+            if uid in got:
+                assert got[uid] <= true_cnt
+                assert true_cnt - got[uid] <= thresh
