@@ -791,3 +791,62 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_q").cast("long").alias("n_second"),
         "psi",
     )
+
+
+@query(
+    "stats_benford_digits",
+    oracle="""
+WITH d AS (
+  SELECT CAST(regexp_extract(
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), '[1-9]'
+         ) AS INT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT c.digit, c.n,
+       round(CAST(c.n AS DOUBLE) / t.total, 6) AS share,
+       round(ln(1.0 + 1.0 / c.digit) / ln(10.0), 6) AS benford,
+       round(CAST(c.n AS DOUBLE) / t.total
+             - ln(1.0 + 1.0 / c.digit) / ln(10.0), 6) AS deviation
+FROM c, t
+""",
+)
+def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals against
+    Benford's law — the classic forensic-accounting / data-quality
+    audit (synthetic or tampered money columns drift from the
+    log-uniform digit law; honest multiplicative processes follow it).
+
+    ONE combiner-bounded groupBy to ≤9 digit cells at any volume; the
+    total re-aggregates those cells (no second scan). The first digit
+    is taken from the CANONICAL DECIMAL(12,2) string via regexp — a
+    log10/floor extraction would hinge on whether log10(10^k) lands a
+    ULP under k, which is exactly the kind of engine-specific boundary
+    this suite keeps out of hash-checked outputs. Expected shares are
+    single ln expressions with one parenthesization on both engines.
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.regexp_extract(
+                F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+                "[1-9]",
+                0,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n"))
+    t = c.groupBy().agg(F.sum("n").alias("total"))
+    benford = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    share = F.col("n").cast("double") / F.col("total")
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(benford, 6).alias("benford"),
+        F.round(share - benford, 6).alias("deviation"),
+    )

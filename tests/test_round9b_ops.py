@@ -238,3 +238,29 @@ def test_market_basket_support_and_lift(spark, tmp_path):
     assert (r["p1"], r["p2"], r["pair_orders"]) == (1, 2, 3)
     assert abs(r["support"] - 0.75) < 1e-9  # 3 of 4 orders
     assert abs(r["lift"] - round(3 * 4 / (3 * 3), 6)) < 1e-9
+
+
+def test_benford_digits_planted_distribution(spark, tmp_path):
+    # 30 orders: first digits 1 x20, 2 x6, 9 x4 — incl. boundary
+    # values that a log10/floor extraction could misclassify.
+    prices = (
+        [10.00] * 10 + [1.23] * 5 + [100.00] * 5  # digit 1 x20
+        + [2.50] * 6  # digit 2 x6
+        + [0.99] * 4  # digit 9 x4 (leading zero skipped)
+    )
+    rows = [(i, 1, "O", p, datetime.datetime(2024, 1, 1), "1-URGENT")
+            for i, p in enumerate(prices)]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    _write(df, tmp_path, "orders")
+    from data_collection_ieee_spark.operators.stats import stats_benford_digits
+
+    got = {r["digit"]: r for r in stats_benford_digits(spark, str(tmp_path)).collect()}
+    assert {d: got[d]["n"] for d in got} == {1: 20, 2: 6, 9: 4}
+    assert abs(got[1]["share"] - round(20 / 30, 6)) < 1e-9
+    assert abs(got[1]["benford"] - round(math.log10(2), 6)) < 1e-9
+    assert abs(got[9]["deviation"]
+               - round(4 / 30 - math.log10(1 + 1 / 9), 6)) < 1e-9
