@@ -58,6 +58,11 @@ CROSS_OK = {
     "sample_hash_split",  # 1-row corpus-total share denominator broadcast onto the 3-row split table
     "embed_centroid_drift",  # 1-row global-norm scalar broadcast onto the ≤|labels|-row centroid table
     "tpch_q22_idle_capital",  # 1-row positive-balance mean broadcast onto customer as the scalar-subquery threshold
+    "agg_heavy_hitters",  # 1-row corpus-token-total scalar broadcast onto the ≤K-candidate count frame
+    "orders_market_basket",  # 1-row order-count scalar broadcast onto the frequent-pair frame for support/lift
+    "stats_psi_drift",  # 1-row time-midpoint scalar + 5-row-bounds broadcasts; domain = types × range(10), bounded
+    "text_unigram_perplexity",  # 1-row corpus-total scalar rides a broadcast nested loop onto the token stream
+    "stats_benford_digits",  # 1-row digit-total scalar broadcast onto the ≤9-cell digit frame
     "stats_token_deciles",  # 9-row decile literal broadcast against the ranked frame — bounded fan-out by construction
 }
 # roundtrip sinks re-read their own CSV/JSON output with a bare scan —
