@@ -1238,3 +1238,66 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_events") * 168).cast("double") / F.col("type_total"), 6
         ).alias("load_ratio"),
     )
+
+
+_PATH_TOPK = 20
+
+
+@query(
+    "events_path_trigrams",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+paths AS (
+  SELECT e1, e2, e3, COUNT(*) AS n
+  FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+top AS (
+  SELECT * FROM paths ORDER BY n DESC, e1, e2, e3 LIMIT {_PATH_TOPK}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, e1, e2, e3) AS INT) AS pos,
+       e1, e2, e3, n
+FROM top
+""",
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 (_PATH_TOPK) three-step user journeys (event-type trigrams
+    along each user's time-ordered stream) — the path-mining query
+    behind funnel discovery and UX flow dashboards, and the 3-step
+    extension of events_markov_transitions' single-step matrix.
+
+    ONE shuffle on user_id drives both leads (same window spec →
+    same sort); the path groupBy is combiner-bounded at |types|³
+    cells, and the top-k is orderBy+limit = TakeOrderedAndProject
+    (per-partition heads merged on one reducer — never a global
+    single-partition sort of the cell frame; the explicit `pos` rank
+    is computed on the ≤20-row result only). Rank ties
+    break lexicographically on the path, a total order, so the
+    output is deterministic.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+    )
+    top = paths.orderBy(
+        F.col("n").desc(), F.col("e1").asc(), F.col("e2").asc(), F.col("e3").asc()
+    ).limit(_PATH_TOPK)
+    wr = Window.orderBy(
+        F.col("n").desc(), F.col("e1").asc(), F.col("e2").asc(), F.col("e3").asc()
+    )
+    return top.select(
+        F.row_number().over(wr).cast("int").alias("pos"), "e1", "e2", "e3", "n"
+    )

@@ -1036,3 +1036,94 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cross_entropy"),
         )
     )
+
+
+# collocation support floor: a bigram must occur this often to be scored
+# (PMI of rare pairs is noise — the standard NLP practice)
+_PMI_MIN_COUNT = 5
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+big AS (
+  SELECT unnest(list_zip(t[1:len(t) - 1], t[2:])) AS z FROM tok
+),
+pairs AS (
+  SELECT z[1] AS w1, z[2] AS w2, COUNT(*) AS c_ab
+  FROM big GROUP BY 1, 2
+),
+uni AS (
+  SELECT unnest(t) AS w FROM tok
+),
+uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+np AS (SELECT SUM(c_ab) AS n_pairs FROM pairs),
+nu AS (SELECT SUM(c) AS n_uni FROM uc)
+SELECT p.w1, p.w2, p.c_ab,
+       round(ln((CAST(p.c_ab AS DOUBLE) / np.n_pairs)
+                / ((CAST(ua.c AS DOUBLE) / nu.n_uni)
+                   * (CAST(ub.c AS DOUBLE) / nu.n_uni))), 6) AS pmi
+FROM pairs p
+JOIN uc ua ON p.w1 = ua.w
+JOIN uc ub ON p.w2 = ub.w, np, nu
+WHERE p.c_ab >= {_PMI_MIN_COUNT}
+""",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations: adjacent token pairs
+    whose co-occurrence beats chance (PMI = ln(p(ab)/(p(a)p(b)))), the
+    classic phrase/vocabulary-mining pass a tokenizer-training or
+    n-gram-merge pipeline runs over the corpus (Mikolov-style phrase
+    detection is exactly this plus a threshold).
+
+    Adjacency pairs are built IN-ROW (arrays_zip of the token array
+    against its shift — no positional self-join, no explode before the
+    pair exists), then ONE vocabulary²-bounded groupBy; unigram counts
+    and both scalar totals re-aggregate from vocabulary-sized frames
+    and ride broadcast joins. All shuffles are combiner-bounded by
+    vocabulary cardinality, not corpus size. The support floor
+    (c_ab ≥ 5) is the standard rare-pair noise cut, applied as an
+    integer compare.
+    """
+    toks = F.split("text", " ")
+    big = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+                    F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+                )
+            ).alias("z")
+        )
+        .select(F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    )
+    pairs = big.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    uni = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n_pairs = pairs.groupBy().agg(F.sum("c_ab").alias("n_pairs"))
+    n_uni = uni.groupBy().agg(F.sum("c").alias("n_uni"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    pmi = F.log(
+        (F.col("c_ab").cast("double") / F.col("n_pairs"))
+        / (
+            (F.col("c_a").cast("double") / F.col("n_uni"))
+            * (F.col("c_b").cast("double") / F.col("n_uni"))
+        )
+    )
+    return (
+        pairs.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_uni))
+        .select("w1", "w2", "c_ab", F.round(pmi, 6).alias("pmi"))
+    )

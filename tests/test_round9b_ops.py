@@ -264,3 +264,80 @@ def test_benford_digits_planted_distribution(spark, tmp_path):
     assert abs(got[1]["benford"] - round(math.log10(2), 6)) < 1e-9
     assert abs(got[9]["deviation"]
                - round(4 / 30 - math.log10(1 + 1 / 9), 6)) < 1e-9
+
+
+def test_pmi_collocations_planted_phrase(spark, tmp_path):
+    # "new york" always adjacent (PMI >> 0); filler tokens independent.
+    # 10 docs x "new york " + independent filler pairs to cross the
+    # support floor for a low-PMI pair.
+    phrase_doc = ("new york " * 5).strip()  # 5 bigram occurrences/doc
+    filler_doc = "x y " * 3 + "y x " * 3  # x,y adjacent both ways
+    rows = [(i, phrase_doc, "en", "s", 0) for i in range(5)] + [
+        (100 + i, filler_doc.strip(), "en", "s", 0) for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    _write(df, tmp_path, "documents")
+    from data_collection_ieee_spark.operators.text_analysis import (
+        text_pmi_collocations,
+    )
+
+    got = {
+        (r["w1"], r["w2"]): (r["c_ab"], r["pmi"])
+        for r in text_pmi_collocations(spark, str(tmp_path)).collect()
+    }
+    assert ("new", "york") in got
+    # python mirror for the planted phrase
+    import collections
+
+    all_bigrams = collections.Counter()
+    all_uni = collections.Counter()
+    for _, text, *_ in rows:
+        t = text.split(" ")
+        all_uni.update(t)
+        all_bigrams.update(zip(t, t[1:]))
+    n_pairs = sum(all_bigrams.values())
+    n_uni = sum(all_uni.values())
+    for (w1, w2), (c_ab, pmi) in got.items():
+        assert c_ab == all_bigrams[(w1, w2)] >= 5
+        want = math.log(
+            (c_ab / n_pairs)
+            / ((all_uni[w1] / n_uni) * (all_uni[w2] / n_uni))
+        )
+        assert abs(pmi - round(want, 6)) < 1e-9
+    # "new york" beats the independent filler pair on PMI
+    assert got[("new", "york")][1] > got[("x", "y")][1]
+
+
+def test_path_trigrams_order_and_rank(spark, tmp_path):
+    # user 1: view->click->purchase->view  (trigrams VCP, CPV)
+    # user 2: view->click->purchase        (trigram VCP)
+    rows = []
+    eid = 0
+    for uid, types in ((1, ["view", "click", "purchase", "view"]),
+                       (2, ["view", "click", "purchase"])):
+        for i, t in enumerate(types):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1, 0, i), uid, t, 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    _write(df, tmp_path, "events")
+    from data_collection_ieee_spark.operators.streaming_shaped import (
+        events_path_trigrams,
+    )
+
+    got = [
+        (r["pos"], r["e1"], r["e2"], r["e3"], r["n"])
+        for r in events_path_trigrams(spark, str(tmp_path)).collect()
+    ]
+    got.sort()
+    assert got == [
+        (1, "view", "click", "purchase", 2),
+        (2, "click", "purchase", "view", 1),
+    ]

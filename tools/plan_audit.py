@@ -63,6 +63,7 @@ CROSS_OK = {
     "stats_psi_drift",  # 1-row time-midpoint scalar + 5-row-bounds broadcasts; domain = types × range(10), bounded
     "text_unigram_perplexity",  # 1-row corpus-total scalar rides a broadcast nested loop onto the token stream
     "stats_benford_digits",  # 1-row digit-total scalar broadcast onto the ≤9-cell digit frame
+    "text_pmi_collocations",  # two 1-row totals broadcast onto the vocabulary²-bounded pair frame
     "stats_token_deciles",  # 9-row decile literal broadcast against the ranked frame — bounded fan-out by construction
 }
 # roundtrip sinks re-read their own CSV/JSON output with a bare scan —
