@@ -666,7 +666,16 @@ def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries — acceptable for training, not for a bit-deterministic
     oracle gate; the codegen explode keeps exactness AND linear scale.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    # pre-explode repartition: the row-generation below inflates each
+    # input row 2080x, so map parallelism must not be capped by the
+    # SOURCE file's split count (a compact vector file yields 2 splits
+    # at sf1 — measured 29 s on 2 cores vs 37 s for 10x the data on 18;
+    # shuffling the raw vectors first is noise next to the explode)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     d = emb.select(F.size("embedding").alias("d")).head()[0]  # bounded: 1 row
     idx = F.sequence(F.lit(0), F.lit(d - 1))
     cells = emb.select(

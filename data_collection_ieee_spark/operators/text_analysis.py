@@ -1008,10 +1008,13 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Three map-side-combined shuffles, all keyed sensibly at 100 TB:
     (1) token counts — the LM itself, one groupBy(token); (2) the
-    token-stream ⋈ LM join on token (shuffle hash join; the LM side is
-    vocabulary-sized, far smaller than the stream side after combine);
-    (3) per-doc aggregation on doc_id. The corpus total rides in as a
-    broadcast 1-row frame. Per-token ln() values are doubles (bitwise
+    token-stream ⋈ LM join on token — explicitly BROADCAST: the LM is
+    vocabulary-bounded (Heaps' law keeps it orders under corpus size),
+    and a shuffle join on the token key would cap parallelism at
+    |vocab| effective partitions while rows grow with the corpus (the
+    text_token_rarity lesson, Addendum 9 — measured 48 s → 5 s at
+    sf10 under 1024 shuffle partitions); (3) per-doc aggregation on
+    doc_id. The corpus total rides in as a broadcast 1-row frame. Per-token ln() values are doubles (bitwise
     identical across engines), but their per-doc SUM is made
     order-independent by casting each term to DECIMAL(38,18) before
     summing — same determinism device as the PageRank rank sums —
@@ -1026,7 +1029,7 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(38,18)"
     )
     return (
-        tok.join(lm, "token")
+        tok.join(F.broadcast(lm), "token")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
