@@ -290,3 +290,93 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hop", "side")
         .agg(F.count("*").alias("n_nodes"))
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+WITH e0 AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT src, dst FROM e0
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM e0
+),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+xy AS (
+  SELECT da.d AS x, db.d AS y
+  FROM edges e JOIN deg da ON e.src = da.node JOIN deg db ON e.dst = db.node
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(x AS DECIMAL(19,0)) * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(x AS DECIMAL(19,0)) * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(y AS DECIMAL(19,0)) * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM xy
+)
+SELECT n AS n_directed_edges,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+         AS assortativity
+FROM m
+""",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the purchase graph — the Pearson
+    correlation of endpoint degrees across (symmetrized) edges, the
+    standard network-science mixing metric: positive means hubs buy
+    from hub suppliers, negative means hubs fan out to the long tail.
+    Completes the graph family's structural axis (degree profile →
+    centrality → reachability → mixing).
+
+    Shape: one degree aggregate (|V| rows), joined to both edge
+    endpoints (two node-keyed shuffles — co-partitioned with the edge
+    list at any scale), then ONE map-side-combined moment aggregate to
+    a single row; the correlation is closed-form double math on that
+    row with oracle-identical parenthesization. Moments accumulate in
+    DECIMAL(38,0) (exact, order-independent — hub degrees square into
+    ~1e10 per term, far past safe float ULPs at 1e8+ edges).
+    """
+    e0 = _purchase_edges(spark, sf_dir)
+    edges = e0.select(
+        F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
+    ).unionByName(
+        e0.select(F.col("supp_node").alias("src"), F.col("cust_node").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    da = deg.select(F.col("src").alias("s"), F.col("d").alias("x"))
+    db = deg.select(F.col("src").alias("t"), F.col("d").alias("y"))
+    xy = (
+        edges.join(da, edges.src == da.s)
+        .join(db, edges.dst == db.t)
+        .select("x", "y")
+    )
+    big = "decimal(38,0)"
+    m = xy.groupBy().agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast(big)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(big)).cast("double").alias("sy"),
+        F.sum((F.col("x").cast("decimal(19,0)") * F.col("y")).cast(big))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x").cast("decimal(19,0)") * F.col("x")).cast(big))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y").cast("decimal(19,0)") * F.col("y")).cast(big))
+        .cast("double")
+        .alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        nd * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

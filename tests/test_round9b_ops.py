@@ -341,3 +341,41 @@ def test_path_trigrams_order_and_rank(spark, tmp_path):
         (1, "view", "click", "purchase", 2),
         (2, "click", "purchase", "view", 1),
     ]
+
+
+def test_assortativity_star_is_negative(spark, tmp_path):
+    # star: supplier 1 connects to customers 1..4 (hub-leaf mixing is
+    # maximally disassortative: every edge pairs degree 4 with degree 1
+    # -> r undefined for constant x... so add a second component with a
+    # 2-cycle pattern to give variance: s2-c5, s2-c6 (degree 2 vs 1).
+    orders = spark.createDataFrame(
+        [(i, i) for i in range(1, 7)], "o_orderkey long, o_custkey long"
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1), (5, 2), (6, 2)],
+        "l_orderkey long, l_suppkey long",
+    )
+    df_o = orders
+    df_l = lineitem
+    df_o.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    df_l.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    from data_collection_ieee_spark.operators.graph import graph_assortativity
+
+    got = graph_assortativity(spark, str(tmp_path)).collect()[0]
+    # python mirror over the 12 directed edges
+    deg = {"s1": 4, "s2": 2, "c1": 1, "c2": 1, "c3": 1, "c4": 1, "c5": 1, "c6": 1}
+    pairs = []
+    for c, s in (("c1", "s1"), ("c2", "s1"), ("c3", "s1"), ("c4", "s1"),
+                 ("c5", "s2"), ("c6", "s2")):
+        pairs.append((deg[c], deg[s]))
+        pairs.append((deg[s], deg[c]))
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    sxx = sum(x * x for x, _ in pairs); syy = sum(y * y for _, y in pairs)
+    want = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    assert got["n_directed_edges"] == n
+    assert abs(got["assortativity"] - round(want, 6)) < 1e-9
+    assert got["assortativity"] < 0  # hub-leaf graphs are disassortative
