@@ -1301,3 +1301,92 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         F.row_number().over(wr).cast("int").alias("pos"), "e1", "e2", "e3", "n"
     )
+
+
+_BURST_MIN_EVENTS = 5
+
+
+@query(
+    "events_interarrival_burstiness",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+m AS (
+  SELECT user_id,
+         CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap) AS BIGINT) AS sgi,
+         CAST(SUM(CAST(CAST(gap AS DECIMAL(19,0)) * gap AS DECIMAL(38,0)))
+              AS DOUBLE) AS sg2,
+         CAST(MIN(gap) AS BIGINT) AS min_gap_us
+  FROM seq WHERE gap IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_gaps, min_gap_us,
+       CAST(sgi // n_gaps AS DOUBLE) / 1000000.0 AS mean_gap_s,
+       round((CAST(n_gaps AS DOUBLE) * sg2
+              - CAST(sgi AS DOUBLE) * CAST(sgi AS DOUBLE))
+             / (CAST(sgi AS DOUBLE) * CAST(sgi AS DOUBLE)), 6)
+         AS burstiness
+FROM m WHERE n_gaps >= {_BURST_MIN_EVENTS}
+""",
+)
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival-time profile: gap count, minimum gap,
+    mean gap, and burstiness (the squared coefficient of variation,
+    n·Σg²/​(Σg)² − 1 — ≈0 for metronome traffic, ≫1 for bursty humans,
+    and suspiciously SMALL with a tiny min-gap for rate-limited bots).
+    The feature triple behind abuse/bot scoring on an event stream.
+
+    ONE user_id-keyed sort drives the lag window; the per-user moment
+    aggregate is map-side combined on the same key (no second
+    exchange — the window output is already partitioned by user_id).
+    Gap squares reach ~7.5e21 for day-scale gaps (past BIGINT), so the
+    second moment accumulates in DECIMAL(38,0) — exact and
+    order-independent; the burstiness division is one double
+    expression with oracle-identical parenthesization. Users with
+    fewer than 5 gaps are dropped (their CV is noise), an integer
+    compare.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    seq = load_table(spark, sf_dir, "events").select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap")
+    )
+    m = (
+        seq.filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap").cast("long").alias("n_gaps"),
+            F.sum("gap").cast("long").alias("sgi"),
+            F.sum(
+                (F.col("gap").cast("decimal(19,0)") * F.col("gap")).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("double")
+            .alias("sg2"),
+            F.min("gap").cast("long").alias("min_gap_us"),
+        )
+    )
+    sgd = F.col("sgi").cast("double")
+    return m.filter(F.col("n_gaps") >= _BURST_MIN_EVENTS).select(
+        "user_id",
+        "n_gaps",
+        "min_gap_us",
+        # exact integer floor-div micros, THEN one double division by
+        # 1e6: no 6dp rounding step, so no half-ULP boundary for the
+        # two engines to disagree on (observed once at sf0.1 with the
+        # round(sg/n/1e6, 6) form)
+        (F.expr("sgi div n_gaps").cast("double") / F.lit(1000000.0)).alias(
+            "mean_gap_s"
+        ),
+        F.round(
+            (F.col("n_gaps").cast("double") * F.col("sg2") - sgd * sgd)
+            / (sgd * sgd),
+            6,
+        ).alias("burstiness"),
+    )

@@ -956,3 +956,133 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_yearly"),
     )
+
+
+@query(
+    "orders_rfm_segments",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS last_day,
+         1 AS one,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS px
+  FROM orders
+),
+agg AS (
+  SELECT o_custkey,
+         MAX(last_day) AS recency_day,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(px) AS DOUBLE) AS monetary
+  FROM cust GROUP BY o_custkey
+),
+b AS (
+  SELECT quantile_cont(CAST(recency_day AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS rb,
+         quantile_cont(CAST(frequency AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS fb,
+         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+  FROM agg
+),
+scored AS (
+  SELECT a.o_custkey, a.recency_day, a.frequency, round(a.monetary, 2) AS monetary,
+         1 + CAST(CAST(a.recency_day AS DOUBLE) > b.rb[1] AS INT)
+           + CAST(CAST(a.recency_day AS DOUBLE) > b.rb[2] AS INT)
+           + CAST(CAST(a.recency_day AS DOUBLE) > b.rb[3] AS INT)
+           + CAST(CAST(a.recency_day AS DOUBLE) > b.rb[4] AS INT) AS r_score,
+         1 + CAST(CAST(a.frequency AS DOUBLE) > b.fb[1] AS INT)
+           + CAST(CAST(a.frequency AS DOUBLE) > b.fb[2] AS INT)
+           + CAST(CAST(a.frequency AS DOUBLE) > b.fb[3] AS INT)
+           + CAST(CAST(a.frequency AS DOUBLE) > b.fb[4] AS INT) AS f_score,
+         1 + CAST(a.monetary > b.mb[1] AS INT)
+           + CAST(a.monetary > b.mb[2] AS INT)
+           + CAST(a.monetary > b.mb[3] AS INT)
+           + CAST(a.monetary > b.mb[4] AS INT) AS m_score
+  FROM agg a, b
+)
+SELECT o_custkey, recency_day, frequency, monetary,
+       CAST(r_score AS INT) AS r_score,
+       CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CASE
+         WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+         WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+         WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+         WHEN r_score <= 2 AND f_score <= 2 AND m_score <= 2 THEN 'hibernating'
+         ELSE 'regular'
+       END AS segment
+FROM scored
+""",
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintile scores plus the classic CRM segment labels (champion /
+    new / at-risk / hibernating / regular). The canonical customer-
+    analytics batch job over an order ledger.
+
+    Scale shape: ONE map-side-combined groupBy collapses orders to a
+    |customers| frame; the quintile boundaries are a single exact-
+    percentile aggregate on that frame (1 row, broadcast back), and
+    scoring is a projection counting strict boundary crossings —
+    deliberately NOT a global ntile(5) window, which would
+    single-partition-sort every customer (the GLOBAL_WINDOW
+    anti-pattern the plan audit exists to catch). Boundary-crossing
+    semantics differ from ntile only in tie handling at the exact
+    quintile edges, identically on both engines (same doubles, same
+    strict compares); Spark's percentile() and DuckDB's quantile_cont
+    share the interpolated-quantile definition (text_lang_stats
+    precedent).
+    """
+    days = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            days.alias("last_day"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("px"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max("last_day").alias("recency_day"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum("px").cast("double").alias("monetary"),
+        )
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    b = agg.groupBy().agg(
+        F.percentile(F.col("recency_day").cast("double"), qs).alias("rb"),
+        F.percentile(F.col("frequency").cast("double"), qs).alias("fb"),
+        F.percentile("monetary", qs).alias("mb"),
+    )
+
+    def score(v, arr):
+        return (
+            F.lit(1)
+            + sum(
+                (v > F.element_at(arr, i + 1)).cast("int") for i in range(4)
+            )
+        ).cast("int")
+
+    scored = agg.crossJoin(F.broadcast(b)).select(
+        "o_custkey",
+        "recency_day",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        score(F.col("recency_day").cast("double"), F.col("rb")).alias("r_score"),
+        score(F.col("frequency").cast("double"), F.col("fb")).alias("f_score"),
+        score(F.col("monetary"), F.col("mb")).alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2) & (F.col("m_score") <= 2),
+            "hibernating",
+        )
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)

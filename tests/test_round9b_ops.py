@@ -379,3 +379,76 @@ def test_assortativity_star_is_negative(spark, tmp_path):
     assert got["n_directed_edges"] == n
     assert abs(got["assortativity"] - round(want, 6)) < 1e-9
     assert got["assortativity"] < 0  # hub-leaf graphs are disassortative
+
+
+def test_burstiness_metronome_vs_bursty(spark, tmp_path):
+    # user 1: metronome (constant 60 s gaps) -> burstiness == 0 exactly
+    # user 2: bursty (five 1 s gaps, one 3600 s gap) -> large positive
+    rows = []
+    eid = 0
+    t = datetime.datetime(2024, 1, 1)
+    for i in range(7):
+        rows.append((eid, t + datetime.timedelta(seconds=60 * i), 1, "view", 1.0, "{}"))
+        eid += 1
+    t2 = datetime.datetime(2024, 1, 2)
+    offs = [0, 1, 2, 3, 4, 5, 3605]
+    for o in offs:
+        rows.append((eid, t2 + datetime.timedelta(seconds=o), 2, "view", 1.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    _write(df, tmp_path, "events")
+    from data_collection_ieee_spark.operators.streaming_shaped import (
+        events_interarrival_burstiness,
+    )
+
+    got = {r["user_id"]: r for r in
+           events_interarrival_burstiness(spark, str(tmp_path)).collect()}
+    assert got[1]["burstiness"] == 0.0
+    assert got[1]["mean_gap_s"] == 60.0
+    assert got[1]["min_gap_us"] == 60_000_000
+    # python mirror for user 2: gaps 1,1,1,1,1,3600 seconds in micros
+    gaps = [1_000_000] * 5 + [3_600_000_000]
+    n = len(gaps); sg = sum(gaps); sg2 = sum(g * g for g in gaps)
+    want = (n * float(sg2) - float(sg) * float(sg)) / (float(sg) * float(sg))
+    assert abs(got[2]["burstiness"] - round(want, 6)) < 1e-9
+    assert got[2]["mean_gap_s"] == (sg // n) / 1e6
+
+
+def test_rfm_scores_and_segments(spark, tmp_path):
+    # 5 customers with strictly increasing recency/frequency/monetary:
+    # customer k places k orders, last on day k, each worth 100*k.
+    rows = []
+    ok = 0
+    for k in range(1, 6):
+        for j in range(k):
+            rows.append(
+                (ok, k, "O", 100.0 * k,
+                 datetime.datetime(2024, 1, k), "1-URGENT")
+            )
+            ok += 1
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    _write(df, tmp_path, "orders")
+    from data_collection_ieee_spark.operators.tpch import orders_rfm_segments
+
+    got = {r["o_custkey"]: r for r in
+           orders_rfm_segments(spark, str(tmp_path)).collect()}
+    assert len(got) == 5
+    # perfectly correlated metrics: every customer has equal r/f/m
+    # scores, monotone in k; customer 5 is the champion, 1 hibernates
+    for k in range(1, 6):
+        r = got[k]
+        assert r["r_score"] == r["f_score"] == r["m_score"], k
+    assert [got[k]["r_score"] for k in range(1, 6)] == sorted(
+        got[k]["r_score"] for k in range(1, 6)
+    )
+    assert got[5]["segment"] == "champion"
+    assert got[1]["segment"] == "hibernating"
+    assert got[5]["frequency"] == 5 and got[5]["monetary"] == 2500.0

@@ -64,6 +64,7 @@ CROSS_OK = {
     "text_unigram_perplexity",  # 1-row corpus-total scalar rides a broadcast nested loop onto the token stream
     "stats_benford_digits",  # 1-row digit-total scalar broadcast onto the ≤9-cell digit frame
     "text_pmi_collocations",  # two 1-row totals broadcast onto the vocabulary²-bounded pair frame
+    "orders_rfm_segments",  # 1-row quintile-boundaries frame broadcast onto the per-customer aggregate (scalar-subquery shape)
     "stats_token_deciles",  # 9-row decile literal broadcast against the ranked frame — bounded fan-out by construction
 }
 # roundtrip sinks re-read their own CSV/JSON output with a bare scan —
