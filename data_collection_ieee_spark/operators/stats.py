@@ -706,7 +706,10 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types| x 2 x 10 rows cross any shuffle, regardless of input
     volume. Missing buckets are restored from an explicit
     types x range(10) domain (both engines build the same domain) and
-    floored at 1e-6 per the standard PSI zero-cell convention. All
+    floored at 1e-6 per the standard PSI zero-cell convention; a type
+    whose events all fall in one half has no drift to score and is
+    dropped in both engines (its empty-half share is 0/0 — Spark NULL
+    vs DuckDB inf, ADVICE r9). All
     double expressions share one parenthesization with the oracle;
     the 10-term PSI sum goes through DECIMAL(38,18).
     """

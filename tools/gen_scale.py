@@ -324,7 +324,14 @@ def main() -> int:
             pq.write_table(tbl, path, row_group_size=max(4096, n // 32))
         sizes[name] = n
         print(f"wrote {name}: {n} rows")
-    with open(os.path.join(args.out, "MANIFEST.json"), "w") as f:
+    # a --tables subset build must EXTEND an existing manifest (same
+    # factor), not clobber the rows of previously generated tables
+    mpath = os.path.join(args.out, "MANIFEST.json")
+    if os.path.exists(mpath):
+        prior = json.load(open(mpath))
+        if prior.get("factor") == args.factor:
+            sizes = {**prior.get("rows", {}), **sizes}
+    with open(mpath, "w") as f:
         json.dump(
             {
                 "factor": args.factor,

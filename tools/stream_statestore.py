@@ -1,0 +1,157 @@
+"""State-store scaling measurement for the stateful streaming kernels
+(VERDICT r9 item 6).
+
+The 100 TB claim for applyInPandasWithState operators is O(state keys)
+state, independent of stream length — and for the sketch kernels,
+O(1) state regardless of entity cardinality. This tool measures it:
+replay a synthetic event stream with a controlled distinct-key count K
+(1k → 100k users at FIXED row count) through
+
+  - running_user_totals  (keyed by user_id: state rows must == K,
+    state bytes ∝ K, wall ~flat at fixed rows), and
+  - heavy_hitters        (keyed by event_type, Misra–Gries K=64 per
+    type: state rows == |types| and state bytes must stay FLAT as the
+    user cardinality grows 100x — that is the whole point of a
+    bounded-memory sketch),
+
+capturing the state store's own accounting (numRowsTotal /
+memoryUsedBytes from the final StreamingQueryProgress) rather than
+asserting it. Emits one JSON line per (op, K) and a BASELINE.md-ready
+markdown table.
+
+Usage: SPARK_DRIVER_MEMORY=32g python tools/stream_statestore.py \
+         [--rows 2000000] [--keys 1000 10000 100000] [--files 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+from data_collection_ieee_spark.session import get_spark  # noqa: E402
+from data_collection_ieee_spark.streaming import parity, stateful  # noqa: E402
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def synth_events(out_dir: str, n_rows: int, n_keys: int) -> str:
+    """Deterministic events table with exactly n_keys distinct users
+    (round-robin, so per-user row counts are equal and the only axis
+    that moves between runs is key cardinality). Same schema the
+    fixtures use, timestamps strictly increasing."""
+    path = os.path.join(out_dir, f"k{n_keys}")
+    os.makedirs(path, exist_ok=True)
+    f = os.path.join(path, "events.parquet")
+    if os.path.exists(f):
+        return path
+    rng = np.random.default_rng(42)
+    t0 = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    ts = t0 + np.arange(n_rows, dtype=np.int64) * 1000  # 1 ms apart
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n_rows, dtype=np.int64)),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "user_id": pa.array(
+                (np.arange(n_rows, dtype=np.int64) % n_keys)
+            ),
+            "event_type": pa.array(
+                np.array(EVENT_TYPES)[rng.integers(0, 5, n_rows)]
+            ),
+            "value": pa.array(np.round(rng.uniform(0, 100, n_rows), 2)),
+            "props": pa.array(
+                np.char.add(
+                    np.char.add(
+                        '{"k": ',
+                        rng.integers(0, 100, n_rows).astype("U3"),
+                    ),
+                    "}",
+                )
+            ),
+        }
+    )
+    pq.write_table(tbl, f, row_group_size=max(4096, n_rows // 32))
+    return path
+
+
+def run_capture(df, mode: str = "update") -> tuple[float, dict]:
+    """Run a streaming frame to completion under availableNow; return
+    (wall seconds, final state-operator progress metrics)."""
+    name = f"statestore_{uuid.uuid4().hex[:12]}"
+    t0 = time.time()
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    ops: dict = {}
+    for p in q.recentProgress:
+        prog = json.loads(p.json) if hasattr(p, "json") else dict(p)
+        if prog.get("stateOperators"):
+            ops = prog["stateOperators"][0]  # keep the LAST one seen
+    q.stop()
+    return wall, ops
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument("--keys", type=int, nargs="*", default=[1000, 10000, 100000])
+    ap.add_argument("--files", type=int, default=4)
+    ap.add_argument("--out", default="/tmp/dcis_statestore")
+    args = ap.parse_args()
+
+    spark = get_spark("stream-statestore")
+    recs = []
+    for n_keys in args.keys:
+        sf_dir = synth_events(args.out, args.rows, n_keys)
+        for op_name, build in (
+            ("running_user_totals", stateful.running_user_totals),
+            ("heavy_hitters", stateful.heavy_hitters),
+        ):
+            events = parity.read_events_stream(
+                spark, sf_dir, n_files=args.files, files_per_trigger=1
+            )
+            build(events)  # warm plan resolution only; cheap
+            wall, ops = run_capture(build(
+                parity.read_events_stream(
+                    spark, sf_dir, n_files=args.files, files_per_trigger=1
+                )
+            ))
+            rec = {
+                "op": op_name,
+                "n_keys": n_keys,
+                "rows": args.rows,
+                "micro_batches": args.files,
+                "wall_s": round(wall, 3),
+                "state_rows": ops.get("numRowsTotal"),
+                "state_bytes": ops.get("memoryUsedBytes"),
+            }
+            recs.append(rec)
+            print(json.dumps(rec), flush=True)
+
+    print("\n| op | distinct keys | state rows | state bytes | wall s |")
+    print("|---|---|---|---|---|")
+    for r in recs:
+        print(
+            f"| {r['op']} | {r['n_keys']:,} | {r['state_rows']:,} "
+            f"| {r['state_bytes']:,} | {r['wall_s']} |"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -167,6 +167,20 @@ def overlap_output_rows(sf_dir: str) -> int:
     return registry.QUERIES["join_session_overlap"](spark, sf_dir).count()
 
 
+def simhash_output_rows(sf_dir: str) -> int:
+    """Result cardinality of dedup_simhash — the work lower bound for
+    an operator whose OUTPUT (near-dup pairs at hamming ≤ 3) grows
+    with the planted dup-family mass, not linearly in rows; r6
+    measured ~60x pairs at 10x docs on the generated corpora, which is
+    what its bare 58x time ratio tracks (VERDICT r9 item 4: attach the
+    denominator to the entry instead of leaving it prose)."""
+    from data_collection_ieee_spark import registry
+    from data_collection_ieee_spark.session import get_spark
+
+    spark = get_spark("trend-worknorm")
+    return registry.QUERIES["dedup_simhash"](spark, sf_dir).count()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/tmp/dcis_scale/sf1")
@@ -176,6 +190,11 @@ def main() -> int:
         "--shingles",
         action="store_true",
         help="also measure the shingle-family candidate mass (needs Spark)",
+    )
+    ap.add_argument(
+        "--simhash",
+        action="store_true",
+        help="also measure dedup_simhash's output-pair work (needs Spark)",
     )
     args = ap.parse_args()
 
@@ -203,6 +222,13 @@ def main() -> int:
                 overlap_output_rows(sf_dir)
             )
             catalog.release_caches()
+    if args.simhash:
+        from data_collection_ieee_spark import catalog, registry
+
+        registry.load_all()
+        for tag, sf_dir in (("base", args.base), ("big", args.big)):
+            works.setdefault("dedup_simhash", {})[tag] = simhash_output_rows(sf_dir)
+            catalog.release_caches()
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     trend_path = os.path.join(root, "SCALE_TREND.json")
@@ -219,6 +245,7 @@ def main() -> int:
         "dedup_containment": "same postings count-join candidate mass as the sweep",
         "dedup_incremental_snapshot": "dirty-restricted candidate mass sum_h df_left(h)*df_right(h)",
         "join_session_overlap": "output pair cardinality (co-active pairs are quadratic in temporal density; fixed-span generator => ~100x per decade)",
+        "dedup_simhash": "output pair cardinality at hamming <= 3 (planted dup families make pairs superlinear in docs on the generated corpora)",
     }
     for name, w in works.items():
         if name not in decade["queries"]:
