@@ -198,6 +198,8 @@ def main() -> int:
                 {"prev": old_env, "queries_before_rerun": sorted(stored["queries"])}
             )
         stored.update(env)
+        if "pair_passes" in out:  # campaign runs must keep their K visible
+            stored["pair_passes"] = out["pair_passes"]
         stored["queries"].update(out["queries"])
     else:
         trend["decades"][label] = out

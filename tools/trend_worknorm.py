@@ -199,12 +199,18 @@ def main() -> int:
     args = ap.parse_args()
 
     works: dict[str, dict[str, float]] = {}
-    for tag, sf_dir in (("base", args.base), ("big", args.big)):
-        vec_id, emb = load_emb(sf_dir)
-        works.setdefault("sim_knn_join", {})[tag] = knn_work(vec_id)
-        vol = embed_cosine_work(vec_id, emb)
-        works.setdefault("dedup_embed_cosine", {})[tag] = vol
-        works.setdefault("dedup_semantic_keep", {})[tag] = vol
+    if all(
+        os.path.exists(os.path.join(d, "embeddings.parquet"))
+        for d in (args.base, args.big)
+    ):
+        for tag, sf_dir in (("base", args.base), ("big", args.big)):
+            vec_id, emb = load_emb(sf_dir)
+            works.setdefault("sim_knn_join", {})[tag] = knn_work(vec_id)
+            vol = embed_cosine_work(vec_id, emb)
+            works.setdefault("dedup_embed_cosine", {})[tag] = vol
+            works.setdefault("dedup_semantic_keep", {})[tag] = vol
+    else:
+        print("embeddings.parquet missing at one endpoint; skipping embed work")
     if args.shingles:
         from data_collection_ieee_spark import catalog, registry
 
@@ -218,10 +224,13 @@ def main() -> int:
                 incremental_candidate_mass(sf_dir)
             )
             catalog.release_caches()
-            works.setdefault("join_session_overlap", {})[tag] = (
-                overlap_output_rows(sf_dir)
-            )
-            catalog.release_caches()
+            # events-dependent work only where the endpoint has events
+            # (the documents-only sf100 fixture set does not)
+            if os.path.exists(os.path.join(sf_dir, "events.parquet")):
+                works.setdefault("join_session_overlap", {})[tag] = (
+                    overlap_output_rows(sf_dir)
+                )
+                catalog.release_caches()
     if args.simhash:
         from data_collection_ieee_spark import catalog, registry
 
@@ -248,7 +257,7 @@ def main() -> int:
         "dedup_simhash": "output pair cardinality at hamming <= 3 (planted dup families make pairs superlinear in docs on the generated corpora)",
     }
     for name, w in works.items():
-        if name not in decade["queries"]:
+        if name not in decade["queries"] or {"base", "big"} - set(w):
             continue
         entry = decade["queries"][name]
         work_ratio = w["big"] / w["base"]
