@@ -132,6 +132,7 @@ def pagerank(
     nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
     n = nodes.count()  # bounded scalar: node count
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    spark = edges.sparkSession
     for _ in range(iters):
         contrib = edges_w.join(ranks, edges_w.src == ranks.node).select(
             "dst",
@@ -150,6 +151,19 @@ def pagerank(
         )
         # truncate lineage: without this the plan doubles every round
         ranks = ranks.localCheckpoint(eager=True)
+        # release the PREVIOUS round's shuffle files and checkpoint
+        # blocks NOW: lineage truncation makes them unreachable, but
+        # the ContextCleaner only drops them after a driver GC, so ten
+        # rounds of the |E|-row contrib shuffle otherwise stay resident
+        # simultaneously — measured filling a 76 GB local disk at
+        # sf100 (600M-edge graph, ~10 GB shuffle/round) before any
+        # cleanup fired. Same prompt-cleanup device as the pair-pass
+        # campaign (_run_pair_passes); on a cluster this is shuffle
+        # disk reclaimed per round instead of held for the whole job.
+        import gc as _gc
+
+        _gc.collect()  # drop py4j refs to the previous round's plan
+        spark._jvm.System.gc()
     return ranks
 
 
@@ -278,6 +292,14 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt.select("node", F.lit(hop).alias("hop"))
         ).localCheckpoint(eager=True)
         frontier = nxt
+        # prompt-release the previous hop's shuffle files + checkpoint
+        # blocks (see pagerank: lineage truncation alone leaves them
+        # for an eventual GC; at 600M edges each hop's join shuffle is
+        # ~10 GB of local disk held simultaneously otherwise)
+        import gc as _gc
+
+        _gc.collect()
+        spark._jvm.System.gc()
     nodes = sym.select(F.col("src").alias("node")).distinct()
     return (
         nodes.join(visited, "node", "left")
