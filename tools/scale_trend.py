@@ -116,6 +116,17 @@ def main() -> int:
             # cache + its own cache build; reps then measure steady
             # state.
             catalog.release_caches()
+            # prompt-drop the PREVIOUS query's unpersisted blocks and
+            # now-unreachable shuffle files before timing this one: at
+            # sf100 a single query's one-shot shuffles are tens of GB,
+            # and the eventual-GC ContextCleaner otherwise lets two
+            # queries' disk footprints overlap (observed 31 GB residue
+            # from graph_degree_stats while pagerank began its own
+            # 30 GB edge build — on a 76 GB disk that is the run)
+            import gc as _gc
+
+            _gc.collect()
+            spark._jvm.System.gc()
             if not args.no_warm:
                 run_once(spark, name, sf_dir)
             times = [run_once(spark, name, sf_dir) for _ in range(args.reps)]
