@@ -117,20 +117,33 @@ def pagerank(
     )
     # Static-side preparation, ONCE (the GraphX lesson): fold the
     # degree into a per-edge weight and hash-partition the edge list
-    # by src before checkpointing — localCheckpoint preserves the
-    # partitioning, so every round's rank join reuses it and only the
-    # small rank vector (|V| rows) shuffles per iteration. Without
-    # this the FULL edge list (2|E| rows) re-exchanges every round —
-    # measured 13.7× per decade vs 10× work before the change.
+    # by src before materializing — the persisted partitioning is what
+    # every round's rank join reuses, so only the small rank vector
+    # (|V| rows) shuffles per iteration. Without this the FULL edge
+    # list (2|E| rows) re-exchanges every round — measured 13.7× per
+    # decade vs 10× work before the change. Materialization is a
+    # COLUMNAR persist, not localCheckpoint: checkpoint stores raw row
+    # blocks (~56 GB for the 1.16B-row sf100 edge list — measured
+    # overrunning the 76 GB local disk before any iteration ran),
+    # while the compressed columnar cache of three numeric columns is
+    # a fraction of that and mostly stays in executor memory.
     deg = sym.groupBy("src").agg(F.count("*").alias("out_deg"))
     edges_w = (
         sym.join(deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
         .repartition("src")
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    edges_w.count()  # materialize the static side eagerly, once
     nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
     n = nodes.count()  # bounded scalar: node count
+    # the edge-list BUILD (join + distinct over the raw fact tables) is
+    # tens of GB of now-dead shuffle at sf100 — release it before the
+    # iteration loop adds its own per-round footprint
+    import gc as _gc
+
+    _gc.collect()
+    edges.sparkSession._jvm.System.gc()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     spark = edges.sparkSession
     for _ in range(iters):
@@ -164,6 +177,11 @@ def pagerank(
 
         _gc.collect()  # drop py4j refs to the previous round's plan
         spark._jvm.System.gc()
+    # the final ranks are checkpointed (no lineage into edges_w), so
+    # the static edge cache can be dropped deterministically here —
+    # a bare persist() would otherwise sit in the CacheManager until
+    # session end, shadowing every later query's memory
+    edges_w.unpersist()
     return ranks
 
 
