@@ -108,10 +108,35 @@ def pagerank(
     has an outgoing edge). `localCheckpoint` per round truncates
     lineage so the plan stays O(1) across iterations (the CC-kernel
     lesson, dedup.py:1315)."""
-    sym = edges.select(
+    # Stage the DISTINCT edge list to scratch parquet as its own job
+    # and release the build shuffles before anything else runs: the
+    # lineitem⋈orders + distinct pipeline holds ~20-40 GB of shuffle
+    # files at the 600M-edge scale, and letting it stay resident under
+    # the degree/repartition/cache stages below overran the local disk
+    # twice before this split (same staged-job device as the pair-pass
+    # campaign). The scratch file is the compact columnar edge table
+    # (~5 GB at sf100) a production deployment would materialize once
+    # per graph refresh anyway.
+    import gc as _gc
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    spark = edges.sparkSession
+    scratch = _os.path.join(
+        _tempfile.gettempdir(),
+        "dcis_graph_edges",
+        spark.sparkContext.applicationId,
+    )
+    _shutil.rmtree(scratch, ignore_errors=True)
+    edges.write.mode("overwrite").parquet(scratch)
+    _gc.collect()
+    spark._jvm.System.gc()  # drop the edge-build shuffle files NOW
+    staged = spark.read.parquet(scratch)
+    sym = staged.select(
         F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
     ).unionByName(
-        edges.select(
+        staged.select(
             F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
         )
     )
@@ -182,6 +207,7 @@ def pagerank(
     # a bare persist() would otherwise sit in the CacheManager until
     # session end, shadowing every later query's memory
     edges_w.unpersist()
+    _shutil.rmtree(scratch, ignore_errors=True)
     return ranks
 
 
