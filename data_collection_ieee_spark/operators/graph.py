@@ -559,10 +559,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o1 = orient.select("src", F.col("dst").alias("d1"))
     o2 = orient.select("src", F.col("dst").alias("d2"))
+    # d1 < d2 is enforced by the wedge filter, so the canonical closing
+    # edge is exactly (d1, d2) — spelling it least/greatest would be
+    # redundant AND hides the equi-keys from Catalyst (planned as a
+    # nested-loop join; plan_audit CARTESIAN flag, round 10)
     wedges = o1.join(o2, "src").filter(F.col("d1") < F.col("d2"))
     tri = wedges.join(
         edges,
-        (edges.x == F.least("d1", "d2")) & (edges.y == F.greatest("d1", "d2")),
+        (edges.x == F.col("d1")) & (edges.y == F.col("d2")),
         "left_semi",
     ).groupBy().agg(F.count("*").alias("t"))
     n_nodes = deg.groupBy().agg(F.count("*").alias("n_nodes"))

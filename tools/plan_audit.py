@@ -54,6 +54,7 @@ CROSS_OK = {
     "sim_ann_ivf",  # probe × 16-row centroid table: broadcast nested loop by design
     "sim_ann_hyperplane",  # 1-row probe rides a broadcast nested loop by design
     "stats_ks_source",  # |sources| × distinct-values ECDF grid: bounded cross join by design
+    "graph_triangle_count",  # final assembly of FOUR 1-row scalars (nodes/edges/triangles/wedge mass) rides broadcast nested loops; the wedge and closing joins are equi-joins
     "stats_chi2_independence",  # 1-row grand-total + source/lang margin scalars ride broadcast nested loops over the ≤tens-of-cells contingency table
     "sample_hash_split",  # 1-row corpus-total share denominator broadcast onto the 3-row split table
     "embed_centroid_drift",  # 1-row global-norm scalar broadcast onto the ≤|labels|-row centroid table
