@@ -33,6 +33,11 @@ _DAMPING = 0.85
 _PR_ITERS = 10
 _PR_TOPK = 20
 
+# prompt-GC shuffle cleanup pays only when a round's shuffle is
+# disk-relevant; below this edge count the ~0.5 s/collection is pure
+# tax (measured 10.6 → 18.8 s on the sf0.1 PageRank before gating)
+_GC_EDGE_THRESHOLD = 50_000_000
+
 
 def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (customer, supplier) purchase edges, node ids
@@ -130,9 +135,16 @@ def pagerank(
     )
     _shutil.rmtree(scratch, ignore_errors=True)
     edges.write.mode("overwrite").parquet(scratch)
-    _gc.collect()
-    spark._jvm.System.gc()  # drop the edge-build shuffle files NOW
     staged = spark.read.parquet(scratch)
+    # row count from parquet metadata (no data scan): gates every
+    # prompt-GC below — a full JVM collection per round is ~0.5 s of
+    # pure tax on a small graph (measured 10.6 → 18.8 s at sf0.1)
+    # and only pays when a round's shuffle is disk-relevant
+    m_edges = staged.count()
+    big_graph = m_edges > _GC_EDGE_THRESHOLD
+    if big_graph:
+        _gc.collect()
+        spark._jvm.System.gc()  # drop the edge-build shuffle files NOW
     sym = staged.select(
         F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
     ).unionByName(
@@ -165,12 +177,10 @@ def pagerank(
     # the edge-list BUILD (join + distinct over the raw fact tables) is
     # tens of GB of now-dead shuffle at sf100 — release it before the
     # iteration loop adds its own per-round footprint
-    import gc as _gc
-
-    _gc.collect()
-    edges.sparkSession._jvm.System.gc()
+    if big_graph:
+        _gc.collect()
+        spark._jvm.System.gc()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    spark = edges.sparkSession
     for _ in range(iters):
         contrib = edges_w.join(ranks, edges_w.src == ranks.node).select(
             "dst",
@@ -198,10 +208,10 @@ def pagerank(
         # cleanup fired. Same prompt-cleanup device as the pair-pass
         # campaign (_run_pair_passes); on a cluster this is shuffle
         # disk reclaimed per round instead of held for the whole job.
-        import gc as _gc
-
-        _gc.collect()  # drop py4j refs to the previous round's plan
-        spark._jvm.System.gc()
+        # Gated: pure tax when a round's shuffle is megabytes.
+        if big_graph:
+            _gc.collect()  # drop py4j refs to the previous round's plan
+            spark._jvm.System.gc()
     # the final ranks are checkpointed (no lineage into edges_w), so
     # the static edge cache can be dropped deterministically here —
     # a bare persist() would otherwise sit in the CacheManager until
@@ -310,6 +320,8 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("src")
         .localCheckpoint(eager=True)
     )
+    # cached-blocks scan, bounded: gates the per-hop prompt-GC below
+    big_graph = sym.count() > _GC_EDGE_THRESHOLD
     hub = (
         sym.filter(F.col("src") % 2 == 1)
         .groupBy("src")
@@ -339,11 +351,13 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         # prompt-release the previous hop's shuffle files + checkpoint
         # blocks (see pagerank: lineage truncation alone leaves them
         # for an eventual GC; at 600M edges each hop's join shuffle is
-        # ~10 GB of local disk held simultaneously otherwise)
-        import gc as _gc
+        # ~10 GB of local disk held simultaneously otherwise). Gated
+        # on edge count like pagerank — pure tax on small graphs.
+        if big_graph:
+            import gc as _gc
 
-        _gc.collect()
-        spark._jvm.System.gc()
+            _gc.collect()
+            spark._jvm.System.gc()
     nodes = sym.select(F.col("src").alias("node")).distinct()
     return (
         nodes.join(visited, "node", "left")
