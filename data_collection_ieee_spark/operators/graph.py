@@ -134,7 +134,27 @@ def pagerank(
         spark.sparkContext.applicationId,
     )
     _shutil.rmtree(scratch, ignore_errors=True)
+    # NB: scratch lives under the DRIVER's tempdir, which reaches the
+    # executors only because driver and executors share a filesystem in
+    # local mode; a cluster deployment would point this at a shared
+    # scratch root (spark.local.dir-style setting or object store).
     edges.write.mode("overwrite").parquet(scratch)
+    # try/finally so the scratch dir (GBs at sf100) and the static edge
+    # cache never leak when an iteration dies mid-loop (ADVICE r10)
+    try:
+        return _pagerank_rounds(spark, scratch, iters, damping)
+    finally:
+        _shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _pagerank_rounds(
+    spark: SparkSession, scratch: str, iters: int, damping: float
+) -> DataFrame:
+    """Iteration body of :func:`pagerank`, reading the staged edge list
+    from ``scratch``. Owns the static-edge persist lifecycle (always
+    unpersisted, even on failure)."""
+    import gc as _gc
+
     staged = spark.read.parquet(scratch)
     # row count from parquet metadata (no data scan): gates every
     # prompt-GC below — a full JVM collection per round is ~0.5 s of
@@ -171,53 +191,62 @@ def pagerank(
         .repartition("src")
         .persist()
     )
-    edges_w.count()  # materialize the static side eagerly, once
-    nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
-    n = nodes.count()  # bounded scalar: node count
-    # the edge-list BUILD (join + distinct over the raw fact tables) is
-    # tens of GB of now-dead shuffle at sf100 — release it before the
-    # iteration loop adds its own per-round footprint
-    if big_graph:
-        _gc.collect()
-        spark._jvm.System.gc()
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iters):
-        contrib = edges_w.join(ranks, edges_w.src == ranks.node).select(
-            "dst",
-            (F.col("rank") * F.col("w")).cast("decimal(38,18)").alias("c"),
+    try:
+        edges_w.count()  # materialize the static side eagerly, once
+        nodes = deg.select(F.col("src").alias("node")).localCheckpoint(
+            eager=True
         )
-        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        ranks = nodes.join(
-            summed, nodes.node == summed.dst, "left"
-        ).select(
-            "node",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
-            ).alias("rank"),
-        )
-        # truncate lineage: without this the plan doubles every round
-        ranks = ranks.localCheckpoint(eager=True)
-        # release the PREVIOUS round's shuffle files and checkpoint
-        # blocks NOW: lineage truncation makes them unreachable, but
-        # the ContextCleaner only drops them after a driver GC, so ten
-        # rounds of the |E|-row contrib shuffle otherwise stay resident
-        # simultaneously — measured filling a 76 GB local disk at
-        # sf100 (600M-edge graph, ~10 GB shuffle/round) before any
-        # cleanup fired. Same prompt-cleanup device as the pair-pass
-        # campaign (_run_pair_passes); on a cluster this is shuffle
-        # disk reclaimed per round instead of held for the whole job.
-        # Gated: pure tax when a round's shuffle is megabytes.
+        n = nodes.count()  # bounded scalar: node count
+        # the edge-list BUILD (join + distinct over the raw fact
+        # tables) is tens of GB of now-dead shuffle at sf100 — release
+        # it before the iteration loop adds its own per-round footprint
         if big_graph:
-            _gc.collect()  # drop py4j refs to the previous round's plan
+            _gc.collect()
             spark._jvm.System.gc()
-    # the final ranks are checkpointed (no lineage into edges_w), so
-    # the static edge cache can be dropped deterministically here —
-    # a bare persist() would otherwise sit in the CacheManager until
-    # session end, shadowing every later query's memory
-    edges_w.unpersist()
-    _shutil.rmtree(scratch, ignore_errors=True)
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+        for _ in range(iters):
+            contrib = edges_w.join(
+                ranks, edges_w.src == ranks.node
+            ).select(
+                "dst",
+                (F.col("rank") * F.col("w"))
+                .cast("decimal(38,18)")
+                .alias("c"),
+            )
+            summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+            ranks = nodes.join(
+                summed, nodes.node == summed.dst, "left"
+            ).select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            # truncate lineage: without this the plan doubles per round
+            ranks = ranks.localCheckpoint(eager=True)
+            # release the PREVIOUS round's shuffle files and checkpoint
+            # blocks NOW: lineage truncation makes them unreachable,
+            # but the ContextCleaner only drops them after a driver GC,
+            # so ten rounds of the |E|-row contrib shuffle otherwise
+            # stay resident simultaneously — measured filling a 76 GB
+            # local disk at sf100 (600M-edge graph, ~10 GB
+            # shuffle/round) before any cleanup fired. Same
+            # prompt-cleanup device as the pair-pass campaign
+            # (_run_pair_passes); on a cluster this is shuffle disk
+            # reclaimed per round instead of held for the whole job.
+            # Gated: pure tax when a round's shuffle is megabytes.
+            if big_graph:
+                _gc.collect()  # drop py4j refs to the prior round plan
+                spark._jvm.System.gc()
+    finally:
+        # the final ranks are checkpointed (no lineage into edges_w),
+        # so the static edge cache can be dropped deterministically —
+        # and MUST be even on failure: a bare persist() would otherwise
+        # sit in the CacheManager until session end, shadowing every
+        # later query's memory
+        edges_w.unpersist()
     return ranks
 
 
@@ -462,6 +491,135 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct co-purchase part pairs (x < y): parts adjacent when
+    some order contains both. Built with the in-row upper-triangle
+    basket explode — Σ C(k,2) over basket sizes, never |parts|²."""
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    items = baskets.groupBy("ok").agg(
+        F.array_sort(F.collect_list("pk")).alias("its")
+    )
+    idx = F.sequence(F.lit(1), F.size("its") - 1)
+    pair_col = F.explode(
+        F.flatten(
+            F.transform(
+                idx,
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.size("its")),
+                    lambda j: F.struct(
+                        F.element_at("its", i.cast("int")).alias("x"),
+                        F.element_at("its", j.cast("int")).alias("y"),
+                    ),
+                ),
+            )
+        )
+    )
+    return (
+        items.filter(F.size("its") >= 2)
+        .select(pair_col.alias("z"))
+        .select(F.col("z.x").alias("x"), F.col("z.y").alias("y"))
+        .distinct()
+    )
+
+
+def _triangle_core(
+    spark: SparkSession, edge_plan: DataFrame, label: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Exact triangle counting core via degree-ordered orientation
+    (Suri–Vassilvitskii / Cohen). Takes a lazy undirected (x < y) edge
+    plan; returns (edges materialized, deg, 1-row triangle count).
+
+    Materialization is a tracked columnar persist (compressed in-memory
+    columns, spill-to-disk), NOT localCheckpoint: checkpoint stores raw
+    uncompressed row blocks — the device pagerank measured overrunning
+    a 76 GB disk at sf100 (ADVICE r10).
+
+    Bounded-pass mode (SPARK_GRAFT_PAIR_PASSES=K > 1, the same campaign
+    switch as the dedup shingle family): the oriented wedge space is
+    sharded by xxhash64(src) % K and each shard's wedge join + closing
+    semi-join runs as its OWN job with shuffle cleanup between
+    (dedup._run_pair_passes). Sharding on the wedge join key is
+    lossless — every wedge has exactly one src, so shard outputs are
+    final and the triangle total is the plain Σ of per-pass counts, no
+    cross-pass merge. Per-pass wedge mass is ~1/K of the Σ outdeg²
+    total, which is what bounds the per-pass shuffle spill; the cost is
+    re-scanning the (cached, columnar) orient/edge frames K times — a
+    linear term traded against the quadratic wedge spill, exactly the
+    shingle-family trade proven at sf100."""
+    # deliberate package-private reuse: the pass device and its
+    # PASS_STATS evidence channel live with the dedup campaign code
+    from data_collection_ieee_spark.catalog import persist_tracked
+    from data_collection_ieee_spark.operators.dedup import (
+        _n_pair_passes,
+        _run_pair_passes,
+    )
+
+    edges = persist_tracked(edge_plan)
+    edges.count()  # materialize once — reused 3x (orient, close, count)
+    deg = (
+        edges.select(F.col("x").alias("v"))
+        .unionAll(edges.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    dx = deg.select(F.col("v").alias("x"), F.col("d").alias("d_x"))
+    dy = deg.select(F.col("v").alias("y"), F.col("d").alias("d_y"))
+    lower_first = (F.col("d_x") < F.col("d_y")) | (
+        (F.col("d_x") == F.col("d_y")) & (F.col("x") < F.col("y"))
+    )
+    orient = persist_tracked(
+        edges.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("src"),
+            F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        )
+    )
+    orient.count()  # materialize once — reused as both wedge legs
+
+    def _pass_count(shard) -> DataFrame:
+        o1 = orient.filter(shard).select("src", F.col("dst").alias("d1"))
+        o2 = orient.filter(shard).select("src", F.col("dst").alias("d2"))
+        # d1 < d2 is enforced by the wedge filter, so the canonical
+        # closing edge is exactly (d1, d2) — spelling it
+        # least/greatest would be redundant AND hides the equi-keys
+        # from Catalyst (planned as a nested-loop join; plan_audit
+        # CARTESIAN flag, round 10)
+        wedges = o1.join(o2, "src").filter(F.col("d1") < F.col("d2"))
+        return (
+            wedges.join(
+                edges,
+                (edges.x == F.col("d1")) & (edges.y == F.col("d2")),
+                "left_semi",
+            )
+            .groupBy()
+            .agg(F.count("*").cast("long").alias("t"))
+        )
+
+    n_passes = _n_pair_passes()
+    if n_passes == 1:
+        tri = _pass_count(F.lit(True))
+    else:
+        tri = (
+            _run_pair_passes(
+                spark,
+                label,
+                n_passes,
+                lambda k: _pass_count(
+                    F.pmod(F.xxhash64(F.col("src")), F.lit(n_passes))
+                    == F.lit(k)
+                ),
+            )
+            .groupBy()
+            .agg(F.sum("t").cast("long").alias("t"))
+        )
+    return edges, deg, tri
+
+
 @query(
     "graph_triangle_count",
     oracle="""
@@ -523,66 +681,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins AQE can re-plan; degrees and the final 4 scalars are
     the only sub-edge-scale frames. Clustering = 3·triangles / wedges
     with the wedge sum Σ C(d,2) in exact integer arithmetic."""
-    baskets = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
+    edges, deg, tri = _triangle_core(
+        spark, _copurchase_edges(spark, sf_dir), "triangle_count"
     )
-    items = baskets.groupBy("ok").agg(F.array_sort(F.collect_list("pk")).alias("its"))
-    idx = F.sequence(F.lit(1), F.size("its") - 1)
-    pair_col = F.explode(
-        F.flatten(
-            F.transform(
-                idx,
-                lambda i: F.transform(
-                    F.sequence(i + 1, F.size("its")),
-                    lambda j: F.struct(
-                        F.element_at("its", i.cast("int")).alias("x"),
-                        F.element_at("its", j.cast("int")).alias("y"),
-                    ),
-                ),
-            )
-        )
-    )
-    edges = (
-        items.filter(F.size("its") >= 2)
-        .select(pair_col.alias("z"))
-        .select(F.col("z.x").alias("x"), F.col("z.y").alias("y"))
-        .distinct()
-        .localCheckpoint(eager=True)  # reused 3x (orient, close, count)
-    )
-    deg = (
-        edges.select(F.col("x").alias("v"))
-        .unionAll(edges.select(F.col("y").alias("v")))
-        .groupBy("v")
-        .agg(F.count("*").alias("d"))
-    )
-    dx = deg.select(F.col("v").alias("x"), F.col("d").alias("d_x"))
-    dy = deg.select(F.col("v").alias("y"), F.col("d").alias("d_y"))
-    lower_first = (F.col("d_x") < F.col("d_y")) | (
-        (F.col("d_x") == F.col("d_y")) & (F.col("x") < F.col("y"))
-    )
-    orient = (
-        edges.join(dx, "x")
-        .join(dy, "y")
-        .select(
-            F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("src"),
-            F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
-        )
-        .localCheckpoint(eager=True)  # reused as both wedge legs
-    )
-    o1 = orient.select("src", F.col("dst").alias("d1"))
-    o2 = orient.select("src", F.col("dst").alias("d2"))
-    # d1 < d2 is enforced by the wedge filter, so the canonical closing
-    # edge is exactly (d1, d2) — spelling it least/greatest would be
-    # redundant AND hides the equi-keys from Catalyst (planned as a
-    # nested-loop join; plan_audit CARTESIAN flag, round 10)
-    wedges = o1.join(o2, "src").filter(F.col("d1") < F.col("d2"))
-    tri = wedges.join(
-        edges,
-        (edges.x == F.col("d1")) & (edges.y == F.col("d2")),
-        "left_semi",
-    ).groupBy().agg(F.count("*").alias("t"))
     n_nodes = deg.groupBy().agg(F.count("*").alias("n_nodes"))
     n_edges = edges.groupBy().agg(F.count("*").alias("n_edges"))
     wedge_mass = deg.groupBy().agg(

@@ -310,7 +310,14 @@ def main() -> int:
                 tbl = gen(rng, n, lo=lo, hi=hi)
                 if writer is None:
                     writer = pq.ParquetWriter(path, tbl.schema)
-                writer.write_table(tbl, row_group_size=_CHUNK)
+                # same >=32-row-group floor as the monolithic branch:
+                # one group per 10M-row chunk would leave mid-size
+                # tables (orders at factor 100 = 15M rows) with ~2 scan
+                # splits and re-create the single-row-group scan
+                # serialization the cap below exists to avoid
+                writer.write_table(
+                    tbl, row_group_size=min(_CHUNK, max(4096, n // 32))
+                )
                 print(f"  {name}: rows {lo}..{hi}", flush=True)
             writer.close()
         else:
@@ -331,6 +338,15 @@ def main() -> int:
         prior = json.load(open(mpath))
         if prior.get("factor") == args.factor:
             sizes = {**prior.get("rows", {}), **sizes}
+        elif args.tables is not None:
+            # a subset rebuild at a DIFFERENT factor would leave the
+            # non-regenerated tables' parquet on disk at the old scale
+            # while the manifest silently omitted them — refuse instead
+            raise SystemExit(
+                f"refusing subset build: {args.out} holds factor="
+                f"{prior.get('factor')} tables but --factor is "
+                f"{args.factor}; use a fresh --out or rebuild all tables"
+            )
     with open(mpath, "w") as f:
         json.dump(
             {

@@ -162,6 +162,8 @@ def main() -> int:
             "dedup_ngram_jaccard": "ngram_jaccard",
             "dedup_containment": "containment",
             "dedup_threshold_sweep": "threshold_sweep",
+            "graph_triangle_count": "triangle_count",
+            "graph_triangle_sample": "triangle_sample",
         }.get(name)
         if label_key and label_key in _dedup.PASS_STATS:
             out["queries"][name]["pass_stats"] = _dedup.PASS_STATS[label_key]

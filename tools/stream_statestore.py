@@ -143,12 +143,18 @@ def main() -> int:
             recs.append(rec)
             print(json.dumps(rec), flush=True)
 
+    # None-safe: a degenerate run can leave recentProgress without
+    # stateOperators metrics, and '{None:,}' would TypeError AFTER the
+    # whole measurement already ran (ADVICE r10)
+    def fmt(v):
+        return f"{v:,}" if isinstance(v, int) else "n/a"
+
     print("\n| op | distinct keys | state rows | state bytes | wall s |")
     print("|---|---|---|---|---|")
     for r in recs:
         print(
-            f"| {r['op']} | {r['n_keys']:,} | {r['state_rows']:,} "
-            f"| {r['state_bytes']:,} | {r['wall_s']} |"
+            f"| {r['op']} | {fmt(r['n_keys'])} | {fmt(r['state_rows'])} "
+            f"| {fmt(r['state_bytes'])} | {r['wall_s']} |"
         )
     return 0
 
