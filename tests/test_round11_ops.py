@@ -64,3 +64,76 @@ def test_triangle_pass_mode_equals_single_pass_sf001(spark, monkeypatch):
     release_caches()
     assert single == passed
     assert single[0]["n_triangles"] > 0
+
+
+def test_triangle_sample_p100_equals_exact(spark, tmp_path, monkeypatch):
+    """With the sampling coin forced to p=1.0 the sparsified graph IS
+    the full graph, so t_sampled must equal the exact triangle count
+    and the estimate must be 8x it (the 1/p^3 constant is pinned at
+    p=0.5 by contract)."""
+    from data_collection_ieee_spark.operators import graph as G
+
+    _write_baskets(tmp_path, [(1, [1, 2, 3]), (2, [31, 32, 33, 34])])
+    monkeypatch.setattr(G, "_DOULION_PCT", 100)
+    r = G.graph_triangle_sample(spark, str(tmp_path)).collect()[0]
+    release_caches()
+    assert r["n_sampled_edges"] == 3 + 6
+    assert r["t_sampled"] == 5  # 1 + C(4,3)
+    assert r["est_triangles"] == 40
+
+
+def test_triangle_sample_subgraph_of_exact(spark):
+    """At the contract p=0.5: sampled edge count is a strict subset of
+    the full edge list, and the estimate is exactly 8 * t_sampled."""
+    from data_collection_ieee_spark.operators.graph import (
+        graph_triangle_sample,
+    )
+
+    full = graph_triangle_count(spark, SF001).collect()[0]
+    release_caches()
+    r = graph_triangle_sample(spark, SF001).collect()[0]
+    release_caches()
+    assert 0 < r["n_sampled_edges"] < full["n_edges"]
+    assert r["est_triangles"] == 8 * r["t_sampled"]
+
+
+def test_connected_users_vs_union_find(spark):
+    """Community labels == a driver-side union-find over the same
+    affinity edges (independent implementation agreement, the
+    CC-kernel verification pattern from dedup_cluster_assign)."""
+    from collections import Counter
+
+    from data_collection_ieee_spark.operators import graph as G
+
+    rows = G.graph_connected_users(spark, SF001).collect()
+    release_caches()
+    # rebuild the edge list independently with plain pandas
+    import pandas as pd
+
+    li = pd.read_parquet(f"{SF001}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    od = pd.read_parquet(f"{SF001}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cp = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")[
+        ["o_custkey", "l_partkey"]
+    ].drop_duplicates()
+    m = cp.merge(cp, on="l_partkey")
+    m = m[m.o_custkey_x < m.o_custkey_y]
+    shared = m.groupby(["o_custkey_x", "o_custkey_y"]).size()
+    edges = [k for k, v in shared.items() if v >= G._SHARED_PARTS_MIN]
+    parent = {}
+
+    def find(a):
+        parent.setdefault(a, a)
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for u, v in edges:
+        ra, rb = find(u), find(v)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    got = {r["custkey"]: r["cluster_id"] for r in rows}
+    assert got == want
+    sizes = Counter(want.values())
+    assert all(r["cluster_size"] == sizes[r["cluster_id"]] for r in rows)

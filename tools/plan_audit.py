@@ -55,6 +55,7 @@ CROSS_OK = {
     "sim_ann_hyperplane",  # 1-row probe rides a broadcast nested loop by design
     "stats_ks_source",  # |sources| × distinct-values ECDF grid: bounded cross join by design
     "graph_triangle_count",  # final assembly of FOUR 1-row scalars (nodes/edges/triangles/wedge mass) rides broadcast nested loops; the wedge and closing joins are equi-joins
+    "graph_triangle_sample",  # same 1-row scalar assembly (sampled edges x triangle count); the wedge and closing joins are equi-joins
     "stats_chi2_independence",  # 1-row grand-total + source/lang margin scalars ride broadcast nested loops over the ≤tens-of-cells contingency table
     "sample_hash_split",  # 1-row corpus-total share denominator broadcast onto the 3-row split table
     "embed_centroid_drift",  # 1-row global-norm scalar broadcast onto the ≤|labels|-row centroid table
@@ -240,7 +241,21 @@ def main() -> int:
         rows.append((name, status))
         print(f"{'FLAG' if flags else 'ok':5} {name:30} {status}")
 
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+    )
+    if args.names and os.path.exists(path):
+        # subset run: MERGE into the existing full table instead of
+        # clobbering it down to the subset's rows (round-11 footgun)
+        merged = {}
+        for line in open(path):
+            m = line.strip()
+            if m.startswith("| `"):
+                q, st = m.strip("|").split("|")
+                merged[q.strip().strip("`")] = st.strip()
+        merged.update(dict(rows))
+        rows = sorted(merged.items())
+    with open(path, "w") as f:
         f.write("# Physical-plan audit\n\n")
         f.write(f"Generated by `tools/plan_audit.py` at sf dir `{args.sf}`.\n\n")
         f.write("Heuristic flags: SCAN_WIDE (column pruning failed), NO_PUSHDOWN "
