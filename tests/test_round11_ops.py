@@ -137,3 +137,107 @@ def test_connected_users_vs_union_find(spark):
     assert got == want
     sizes = Counter(want.values())
     assert all(r["cluster_size"] == sizes[r["cluster_id"]] for r in rows)
+
+
+# ---- streaming recovery: kill MID-REPLAY, restart from checkpoint ----
+#
+# The pre-existing restart test (test_streaming.py) stops a query at a
+# QUIET point (all staged files processed) before landing new data.
+# This one kills the query BETWEEN micro-batches of one logical replay
+# — the crash-recovery case the exactly-once claim actually rests on —
+# and asserts the recovered end state is bit-identical to an
+# uninterrupted run for all three stateful kernels (VERDICT r10 #3).
+
+import time
+
+import pytest
+
+from data_collection_ieee_spark.streaming import parity, stateful
+
+_N_FILES = 8
+
+
+def _run_stream(spark, build_df, out, ckpt, stop_after_first_progress=False):
+    """Start the availableNow query on `build_df()`; optionally stop it
+    as soon as the first micro-batch commits (mid-replay kill). Returns
+    wall seconds."""
+    t0 = time.time()
+    q = (
+        stateful.idempotent_parquet_sink(build_df(), out)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if stop_after_first_progress:
+        while q.isActive and not q.recentProgress:
+            time.sleep(0.02)
+        q.stop()
+    q.awaitTermination()
+    return time.time() - t0
+
+
+def _final_state(spark, out, key):
+    """Per-key FINAL row across the batch=N emissions (update mode emits
+    per touched batch; the last batch containing a key holds its final
+    state)."""
+    df = spark.read.parquet(out)  # hive-partitioned: adds `batch` col
+    rows = df.collect()
+    best = {}
+    for r in rows:
+        d = r.asDict()
+        b = d.pop("batch")
+        k = d.pop(key)
+        val = tuple(tuple(v) if isinstance(v, list) else v for v in d.values())
+        if k not in best or b > best[k][0]:
+            best[k] = (b, val)
+    return {k: v for k, (_b, v) in best.items()}
+
+
+@pytest.mark.parametrize(
+    "kernel,key",
+    [
+        (stateful.running_user_totals, "user_id"),
+        (stateful.cusum_drift, "event_type"),
+        (stateful.heavy_hitters, "event_type"),
+    ],
+    ids=["running_totals", "cusum", "heavy_hitters"],
+)
+def test_kill_midreplay_recovers_exact_state(spark, tmp_path, kernel, key):
+    sf_dir = "/root/testdata/sf0.01"
+
+    def build():
+        return kernel(
+            parity.read_events_stream(
+                spark, sf_dir, n_files=_N_FILES, files_per_trigger=1
+            )
+        )
+
+    # uninterrupted reference run
+    out_u, ckpt_u = str(tmp_path / "sink_u"), str(tmp_path / "ckpt_u")
+    _run_stream(spark, build, out_u, ckpt_u)
+
+    # interrupted run: kill after the FIRST committed micro-batch…
+    out_i, ckpt_i = str(tmp_path / "sink_i"), str(tmp_path / "ckpt_i")
+    _run_stream(spark, build, out_i, ckpt_i, stop_after_first_progress=True)
+    import os
+
+    first_ids = {
+        int(d.split("=")[1])
+        for d in os.listdir(out_i)
+        if d.startswith("batch=")
+    }
+    # …the kill landed mid-replay (some of the 8 micro-batches pending)
+    assert 0 < len(first_ids) < _N_FILES
+    # …then restart from the checkpoint and drain the rest
+    recovery_wall = _run_stream(spark, build, out_i, ckpt_i)
+    all_ids = {
+        int(d.split("=")[1])
+        for d in os.listdir(out_i)
+        if d.startswith("batch=")
+    }
+    assert len(all_ids) > len(first_ids)
+
+    # recovered end state == uninterrupted end state, per key, exactly
+    assert _final_state(spark, out_i, key) == _final_state(spark, out_u, key)
+    assert recovery_wall > 0
