@@ -181,6 +181,48 @@ def simhash_output_rows(sf_dir: str) -> int:
     return registry.QUERIES["dedup_simhash"](spark, sf_dir).count()
 
 
+def triangle_wedge_mass(sf_dir: str, sampled: bool) -> int:
+    """Oriented wedge mass Σ_src C(outdeg_src, 2) of the co-purchase
+    graph under the operator's own degree-ordered orientation — the
+    EXACT row count the triangle wedge self-join emits, i.e. the work
+    denominator for graph_triangle_count (and its DOULION-sampled twin
+    when ``sampled``). Replays the operator's edge build + orientation
+    and stops at the per-src combination count (one aggregate, never
+    the wedge join itself)."""
+    from pyspark.sql import functions as F
+
+    from data_collection_ieee_spark.operators import graph as G
+    from data_collection_ieee_spark.session import get_spark
+
+    spark = get_spark("trend-worknorm")
+    edges = G._copurchase_edges(spark, sf_dir)
+    if sampled:
+        edges = edges.filter(G._edge_coin_spark() < G._DOULION_PCT)
+    deg = (
+        edges.select(F.col("x").alias("v"))
+        .unionAll(edges.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    dx = deg.select(F.col("v").alias("x"), F.col("d").alias("d_x"))
+    dy = deg.select(F.col("v").alias("y"), F.col("d").alias("d_y"))
+    lower_first = (F.col("d_x") < F.col("d_y")) | (
+        (F.col("d_x") == F.col("d_y")) & (F.col("x") < F.col("y"))
+    )
+    orient = (
+        edges.join(dx, "x")
+        .join(dy, "y")
+        .select(F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("src"))
+    )
+    mass = (
+        orient.groupBy("src")
+        .agg(F.count("*").alias("o"))
+        .agg(F.sum(F.expr("o * (o - 1) DIV 2")).alias("mass"))
+        .first()["mass"]
+    )
+    return int(mass or 0)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/tmp/dcis_scale/sf1")
@@ -195,6 +237,12 @@ def main() -> int:
         "--simhash",
         action="store_true",
         help="also measure dedup_simhash's output-pair work (needs Spark)",
+    )
+    ap.add_argument(
+        "--triangles",
+        action="store_true",
+        help="also measure the oriented wedge mass for the triangle "
+        "queries (needs Spark)",
     )
     args = ap.parse_args()
 
@@ -238,6 +286,18 @@ def main() -> int:
         for tag, sf_dir in (("base", args.base), ("big", args.big)):
             works.setdefault("dedup_simhash", {})[tag] = simhash_output_rows(sf_dir)
             catalog.release_caches()
+    if args.triangles:
+        from data_collection_ieee_spark import catalog
+
+        for tag, sf_dir in (("base", args.base), ("big", args.big)):
+            works.setdefault("graph_triangle_count", {})[tag] = (
+                triangle_wedge_mass(sf_dir, sampled=False)
+            )
+            catalog.release_caches()
+            works.setdefault("graph_triangle_sample", {})[tag] = (
+                triangle_wedge_mass(sf_dir, sampled=True)
+            )
+            catalog.release_caches()
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     trend_path = os.path.join(root, "SCALE_TREND.json")
@@ -255,6 +315,8 @@ def main() -> int:
         "dedup_incremental_snapshot": "dirty-restricted candidate mass sum_h df_left(h)*df_right(h)",
         "join_session_overlap": "output pair cardinality (co-active pairs are quadratic in temporal density; fixed-span generator => ~100x per decade)",
         "dedup_simhash": "output pair cardinality at hamming <= 3 (planted dup families make pairs superlinear in docs on the generated corpora)",
+        "graph_triangle_count": "oriented wedge mass sum_src C(outdeg,2) — the exact wedge-join row count (fixture holds avg degree ~constant, so this grows ~E x deg, superlinear by fixture contract)",
+        "graph_triangle_sample": "oriented wedge mass of the p=0.5 sparsified graph (~p^2 of the full mass)",
     }
     for name, w in works.items():
         if name not in decade["queries"] or {"base", "big"} - set(w):
