@@ -122,7 +122,6 @@ def pagerank(
     # campaign). The scratch file is the compact columnar edge table
     # (~5 GB at sf100) a production deployment would materialize once
     # per graph refresh anyway.
-    import gc as _gc
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
@@ -604,7 +603,12 @@ def _triangle_core(
     if n_passes == 1:
         tri = _pass_count(F.lit(True))
     else:
-        tri = (
+        # Consume the pass union EAGERLY: the lazy read points at
+        # _run_pair_passes' scratch dir, which the NEXT same-label run
+        # rmtree's at start — a caller holding an unconsumed lazy `tri`
+        # across a re-run would read under a deleted dir (ADVICE r11).
+        # The sum is one row, so materializing here is free.
+        total = (
             _run_pair_passes(
                 spark,
                 label,
@@ -616,7 +620,9 @@ def _triangle_core(
             )
             .groupBy()
             .agg(F.sum("t").cast("long").alias("t"))
+            .collect()[0]["t"]
         )
+        tri = spark.createDataFrame([(int(total or 0),)], "t long")
     return edges, deg, tri
 
 

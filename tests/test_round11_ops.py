@@ -217,17 +217,30 @@ def test_kill_midreplay_recovers_exact_state(spark, tmp_path, kernel, key):
     out_u, ckpt_u = str(tmp_path / "sink_u"), str(tmp_path / "ckpt_u")
     _run_stream(spark, build, out_u, ckpt_u)
 
-    # interrupted run: kill after the FIRST committed micro-batch…
-    out_i, ckpt_i = str(tmp_path / "sink_i"), str(tmp_path / "ckpt_i")
-    _run_stream(spark, build, out_i, ckpt_i, stop_after_first_progress=True)
+    # interrupted run: kill after the FIRST committed micro-batch. The
+    # stop races the stream — on a fast run all 8 micro-batches can
+    # commit before the stop lands, which makes the attempt useless
+    # (nothing left to recover), not wrong. Retry with fresh dirs; skip
+    # only if every attempt drains fully (ADVICE r11).
     import os
+    import shutil
 
-    first_ids = {
-        int(d.split("=")[1])
-        for d in os.listdir(out_i)
-        if d.startswith("batch=")
-    }
-    # …the kill landed mid-replay (some of the 8 micro-batches pending)
+    out_i, ckpt_i = str(tmp_path / "sink_i"), str(tmp_path / "ckpt_i")
+    first_ids: set[int] = set()
+    for _attempt in range(4):
+        shutil.rmtree(out_i, ignore_errors=True)
+        shutil.rmtree(ckpt_i, ignore_errors=True)
+        _run_stream(spark, build, out_i, ckpt_i, stop_after_first_progress=True)
+        first_ids = {
+            int(d.split("=")[1])
+            for d in os.listdir(out_i)
+            if d.startswith("batch=")
+        }
+        # …the kill landed mid-replay (some of the 8 micro-batches pending)
+        if 0 < len(first_ids) < _N_FILES:
+            break
+    else:
+        pytest.skip("stream drained all micro-batches before every kill")
     assert 0 < len(first_ids) < _N_FILES
     # …then restart from the checkpoint and drain the rest
     recovery_wall = _run_stream(spark, build, out_i, ckpt_i)

@@ -251,9 +251,13 @@ def main() -> int:
         for line in open(path):
             m = line.strip()
             if m.startswith("| `"):
-                q, st = m.strip("|").split("|")
+                # maxsplit=1: a status containing "|" must not explode
+                q, st = m.strip("|").split("|", 1)
                 merged[q.strip().strip("`")] = st.strip()
         merged.update(dict(rows))
+        # prune rows for queries renamed/removed from the registry —
+        # otherwise stale names persist in PLANS.md forever (ADVICE r11)
+        merged = {q: st for q, st in merged.items() if q in queries}
         rows = sorted(merged.items())
     with open(path, "w") as f:
         f.write("# Physical-plan audit\n\n")
