@@ -812,6 +812,114 @@ def graph_triangle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pair mass is Σ C(buyers,2) ∝ |parts|: LINEAR in the corpus.
 _SHARED_PARTS_MIN = 4
 
+# max buyers per part the in-row upper-triangle explode may see; above
+# this a part is "hot" and its pairs are built by the salted two-level
+# device instead. 1024 caps any single row's basket array at 1024
+# elements and any single explode at C(1024,2) ≈ 524k structs — far
+# below executor limits — while keeping every part on this fixture
+# (~30 buyers/part) on the cheap path.
+_HOT_BUYERS_CAP = 1024
+
+
+def _affinity_pairs(cp: DataFrame, cap: int = _HOT_BUYERS_CAP) -> DataFrame:
+    """Unordered co-buyer pairs (u < v), ONE ROW PER SHARED PART, from
+    a distinct (c, p) frame — hot-part-safe (VERDICT r11 #3).
+
+    Cold parts (≤ ``cap`` buyers) use the in-row upper-triangle basket
+    explode: Σ C(buyers,2) total work, never |customers|². That form
+    is linear only while buyers-per-part is bounded; on a power-law
+    catalog one hot part with 10⁶ buyers would put a 10⁶-element array
+    into a single row and C(10⁶,2) ≈ 5·10¹¹ structs through ONE explode
+    call — a single-task executor OOM, not mere skew. Hot parts
+    therefore take a salted two-level pair build (the agg_salted_skew
+    device lifted from aggregate space to pair space): buyers hash
+    into nb = ceil(n/cap) buckets keyed pmod(xxhash64(c), nb);
+    same-bucket pairs come from the same in-row explode over now
+    ~cap-sized bucket baskets, cross-bucket pairs from an equi-join
+    keyed (p, i, j) over ordered bucket pairs, each side replicated to
+    the bucket pairs it participates in. Every task then sees ~cap²
+    work REGARDLESS of part degree, the replication factor is nb (vs
+    the n² of the naive all-pairs join), and every unordered pair is
+    emitted exactly once: same-bucket XOR exactly one (i<j) bucket
+    pair. Equality with the unsalted form + the planted-hot-part
+    completion bound are pytested (tests/test_round12_ops.py).
+
+    ``_copurchase_edges`` (order-basket part pairs) deliberately does
+    NOT route through this device: its basket size is bounded by order
+    width (at most a few dozen lineitems per order — a bound the data
+    model itself enforces), while buyers-per-part has no model-side
+    bound at all."""
+    from data_collection_ieee_spark.catalog import persist_tracked
+
+    # Per-part degree via a window over the SAME p-shuffle the basket
+    # build needs anyway (a groupBy+join would scan the upstream
+    # join+distinct twice), and a tracked columnar persist so the four
+    # branch reads below (cold, hot-within, hot-left, hot-right) hit a
+    # compact 3-column cache instead of re-running the lineitem⋈orders
+    # pipeline per branch — the _triangle_core materialization device.
+    cpd = persist_tracked(
+        cp.withColumn(
+            "nb", F.count("*").over(Window.partitionBy("p")).cast("int")
+        )
+    )
+
+    def _inrow_pairs(grouped: DataFrame) -> DataFrame:
+        idx = F.sequence(F.lit(1), F.size("bs") - 1)
+        pair_col = F.explode(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size("bs")),
+                        lambda j: F.struct(
+                            F.element_at("bs", i.cast("int")).alias("u"),
+                            F.element_at("bs", j.cast("int")).alias("v"),
+                        ),
+                    ),
+                )
+            )
+        )
+        return (
+            grouped.filter(F.size("bs") >= 2)
+            .select(pair_col.alias("z"))
+            .select(F.col("z.u").alias("a_id"), F.col("z.v").alias("b_id"))
+        )
+
+    cold = _inrow_pairs(
+        cpd.filter(F.col("nb") <= cap)
+        .groupBy("p")
+        .agg(F.array_sort(F.collect_list("c")).alias("bs"))
+    )
+
+    hot = cpd.filter(F.col("nb") > cap).select(
+        "p",
+        "c",
+        F.pmod(F.xxhash64("c"), F.ceil(F.col("nb") / cap).cast("long"))
+        .cast("int")
+        .alias("b"),
+        (F.ceil(F.col("nb") / cap)).cast("int").alias("nbk"),
+    )
+    hot_within = _inrow_pairs(
+        hot.groupBy("p", "b").agg(F.array_sort(F.collect_list("c")).alias("bs"))
+    )
+    # cross-bucket: left side owns bucket i and replicates to every
+    # j > i; right side owns bucket j and replicates to every i < j —
+    # the (p, i, j) equi-key lands exactly one (bucket_i × bucket_j)
+    # block per task
+    left = hot.select(
+        "p", F.col("c").alias("ca"), F.col("b").alias("i"),
+        F.explode(F.sequence(F.col("b") + 1, F.col("nbk") - 1)).alias("j"),
+    )
+    right = hot.select(
+        "p", F.col("c").alias("cb"), F.col("b").alias("j"),
+        F.explode(F.sequence(F.lit(0), F.col("b") - 1)).alias("i"),
+    )
+    hot_cross = left.join(right, ["p", "i", "j"]).select(
+        F.least("ca", "cb").alias("a_id"),
+        F.greatest("ca", "cb").alias("b_id"),
+    )
+    return cold.unionAll(hot_within).unionAll(hot_cross)
+
 
 @query(
     "graph_connected_users",
@@ -847,11 +955,15 @@ def graph_connected_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer view of the CC kernel (VERDICT r10 #8: the kernel
     previously surfaced only through dedup-flavored queries).
 
-    Scale shape: the affinity edge build is the in-row upper-triangle
-    explode over per-part buyer baskets (Σ C(buyers,2), never
-    |customers|²) followed by one pair-count aggregate with map-side
-    combine; buyers-per-part is scale-invariant on this data model so
-    edge mass is linear in |parts|. Labels come from the shared
+    Scale shape: the affinity edge build (`_affinity_pairs`) is the
+    in-row upper-triangle explode over per-part buyer baskets
+    (Σ C(buyers,2), never |customers|²) followed by one pair-count
+    aggregate with map-side combine; buyers-per-part is
+    scale-invariant on this data model so edge mass is linear in
+    |parts|, and parts hotter than `_HOT_BUYERS_CAP` buyers are
+    routed through the salted two-level bucket-pair build so no
+    single row or task ever carries a whole hot part (VERDICT r11
+    #3). Labels come from the shared
     `connected_components` kernel (dedup.py:1375) — min-label
     propagation + pointer jumping, hot-hub broadcast split, per-round
     localCheckpoint — whose 100 TB evidence lives with
@@ -874,26 +986,8 @@ def graph_connected_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    buyers = cp.groupBy("p").agg(F.array_sort(F.collect_list("c")).alias("bs"))
-    idx = F.sequence(F.lit(1), F.size("bs") - 1)
-    pair_col = F.explode(
-        F.flatten(
-            F.transform(
-                idx,
-                lambda i: F.transform(
-                    F.sequence(i + 1, F.size("bs")),
-                    lambda j: F.struct(
-                        F.element_at("bs", i.cast("int")).alias("u"),
-                        F.element_at("bs", j.cast("int")).alias("v"),
-                    ),
-                ),
-            )
-        )
-    )
     pairs = (
-        buyers.filter(F.size("bs") >= 2)
-        .select(pair_col.alias("z"))
-        .select(F.col("z.u").alias("a_id"), F.col("z.v").alias("b_id"))
+        _affinity_pairs(cp)
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= _SHARED_PARTS_MIN)
