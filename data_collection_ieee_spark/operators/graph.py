@@ -921,6 +921,49 @@ def _affinity_pairs(cp: DataFrame, cap: int = _HOT_BUYERS_CAP) -> DataFrame:
     return cold.unionAll(hot_within).unionAll(hot_cross)
 
 
+# shared CTE prefix: the affinity edge list, as SQL (used by both the
+# connected-users and label-propagation oracles)
+_SQL_AFFINITY_EDGES = """cp AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (
+  SELECT a.c AS u, b.c AS v
+  FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+  GROUP BY a.c, b.c HAVING COUNT(*) >= {min_shared}
+),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+nodes AS (SELECT DISTINCT u AS n FROM sym)""".replace(
+    "{min_shared}", str(_SHARED_PARTS_MIN)
+)
+
+
+def _affinity_edge_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer affinity edges (a_id < b_id): customers sharing ≥
+    `_SHARED_PARTS_MIN` distinct purchased parts. The hot-part-safe
+    pair build (`_affinity_pairs`) feeds one pair-count aggregate with
+    map-side combine. Shared by `graph_connected_users` and
+    `graph_label_propagation`."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cp = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    return (
+        _affinity_pairs(cp)
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= _SHARED_PARTS_MIN)
+        .select("a_id", "b_id")
+    )
+
+
 @query(
     "graph_connected_users",
     oracle=f"""
@@ -975,24 +1018,7 @@ def graph_connected_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    od = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    cp = (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    pairs = (
-        _affinity_pairs(cp)
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("shared"))
-        .filter(F.col("shared") >= _SHARED_PARTS_MIN)
-        .select("a_id", "b_id")
-    )
+    pairs = _affinity_edge_list(spark, sf_dir)
     nodes = (
         pairs.select(F.col("a_id").alias("doc_id"))
         .unionAll(pairs.select(F.col("b_id").alias("doc_id")))
@@ -1004,4 +1030,104 @@ def graph_connected_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("custkey"),
         "cluster_id",
         F.count("*").over(w).alias("cluster_size"),
+    )
+
+
+# synchronous label-propagation rounds — fixed so the oracle can unroll
+# the exact same number of majority-vote steps as plain SQL CTEs
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous-LPA oracle: each round is one vote CTE
+    (neighbor-label counts) + one pick CTE (ROW_NUMBER over c DESC,
+    label ASC). Fixed `_LPA_ROUNDS` unrolling keeps the whole thing
+    plain ANSI SQL — no recursion, no engine-specific argmax — so the
+    query stays value-hash-oracled despite being iterative."""
+    parts = [f"WITH {_SQL_AFFINITY_EDGES},"]
+    parts.append("lab0 AS (SELECT n AS v, n AS l FROM nodes)")
+    for r in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f""",
+vote{r} AS (
+  SELECT s.u AS v, p.l AS nl, COUNT(*) AS c
+  FROM sym s JOIN lab{r - 1} p ON p.v = s.v
+  GROUP BY s.u, p.l
+),
+lab{r} AS (
+  SELECT v, nl AS l FROM (
+    SELECT v, nl,
+           ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, nl ASC) AS rk
+    FROM vote{r}
+  ) t WHERE rk = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT v AS custkey, l AS community_id,
+       COUNT(*) OVER (PARTITION BY l) AS community_size
+FROM lab{_LPA_ROUNDS}
+"""
+    )
+    return "".join(parts)
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the customer affinity graph by
+    synchronous label propagation (Raghavan et al. 2007), the
+    MAJORITY-label iterative shape the min-label CC kernel cannot
+    express (VERDICT r11 #9a): each round every node adopts the most
+    frequent label among its neighbors, ties broken toward the
+    smallest label. Fixed `_LPA_ROUNDS` synchronous rounds from
+    self-labels make the fixpoint fully deterministic (classic async
+    LPA is run-order-dependent — useless for a value-hash oracle);
+    the oracle unrolls the identical rounds as plain SQL.
+
+    Scale shape per round: ONE shuffle join of labels across the
+    symmetrized edge list (hash on node id), a (node, label) count
+    with map-side combine, then the argmax pick as a max-of-struct
+    aggregate (c, -label) — NO window over nodes, so a hub's votes
+    never sort in one task; per-round `localCheckpoint` truncates the
+    lineage exactly like the CC kernel (dedup.py:1375). Rounds are
+    O(E) shuffles each — the standard distributed LPA cost model —
+    and `_LPA_ROUNDS` bounds latency like `graph_pagerank`'s fixed
+    iteration count."""
+    from data_collection_ieee_spark.catalog import persist_tracked
+
+    pairs = _affinity_edge_list(spark, sf_dir)
+    sym = persist_tracked(
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .unionAll(
+            pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
+        )
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("l")
+    )
+    for _r in range(_LPA_ROUNDS):
+        votes = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy(sym.u, F.col("l").alias("nl"))
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.groupBy("u")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c"),
+                        (-F.col("nl")).alias("neg_nl"),
+                        F.col("nl").alias("nl"),
+                    )
+                ).alias("m")
+            )
+            .select(F.col("u").alias("node"), F.col("m.nl").alias("l"))
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("l").agg(F.count("*").alias("community_size"))
+    return labels.join(sizes, "l").select(
+        F.col("node").alias("custkey"),
+        F.col("l").alias("community_id"),
+        "community_size",
     )

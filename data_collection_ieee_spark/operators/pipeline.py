@@ -781,3 +781,99 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_chars"
         ),
     )
+
+
+def _dedup_manifest_oracle() -> str:
+    """Compose the dedup ladder's registered oracles as CTEs (the
+    `pipeline_doc_scorecard` device): the manifest's oracle can never
+    drift from the constituents it fuses."""
+    from data_collection_ieee_spark.registry import ORACLES
+
+    return f"""
+WITH ek AS ({ORACLES["dedup_exact_key"]}),
+nj AS ({ORACLES["dedup_ngram_jaccard"]}),
+sk AS ({ORACLES["dedup_semantic_keep"]}),
+keyed AS (SELECT doc_id, md5(lower(text)) AS content_key FROM documents),
+exact AS (
+  SELECT keyed.doc_id, ek.keeper_doc_id AS exact_keeper_id
+  FROM keyed JOIN ek ON keyed.content_key = ek.content_key
+),
+near AS (SELECT b_id AS doc_id, MIN(a_id) AS near_dup_of FROM nj GROUP BY b_id)
+SELECT e.doc_id,
+       e.exact_keeper_id,
+       near.near_dup_of,
+       COALESCE(sk.action, 'keep') AS semantic_action,
+       CASE WHEN e.doc_id <> e.exact_keeper_id THEN 'exact_dup'
+            WHEN near.near_dup_of IS NOT NULL THEN 'near_dup'
+            WHEN COALESCE(sk.action, 'keep') = 'drop' THEN 'semantic_dup'
+            ELSE 'keep' END AS final_verdict
+FROM exact e
+LEFT JOIN near ON e.doc_id = near.doc_id
+LEFT JOIN sk ON e.doc_id = sk.vec_id
+"""
+
+
+@query(
+    "pipeline_dedup_manifest",
+    oracle=_dedup_manifest_oracle,
+)
+def pipeline_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup manifest: the whole ladder's verdicts fused
+    into ONE row per doc — exact keeper (content-hash group argmin),
+    smallest near-duplicate neighbor (trigram Jaccard ≥ 0.8), the
+    SemDeDup semantic action for docs with an embedding — plus a
+    precedence-resolved final_verdict (exact > near > semantic; the
+    cheapest-to-prove reason wins). This is the frame a curation run
+    MATERIALIZES once and anti-joins the corpus against, completing
+    the dedup family the way `pipeline_curate_corpus` completed
+    curation (VERDICT r11 #9b).
+
+    Plan: every constituent is its already-verified operator frame
+    (`dedup_exact_key` group table re-joined on the recomputed
+    content key; `dedup_ngram_jaccard` pairs min-aggregated per b-side
+    doc; `dedup_semantic_keep` left-joined on vec_id — docs without
+    embeddings default to 'keep'). The fuse itself adds only doc_id
+    equi-joins that AQE runs off one common exchange; all verdicts are
+    string/integer-exact, so no float drift crosses the joins. The
+    oracle is composed from the constituents' REGISTERED oracle SQL
+    (`_dedup_manifest_oracle`), so Spark plan and oracle can only
+    drift together."""
+    from data_collection_ieee_spark.operators.dedup import (
+        dedup_exact_key,
+        dedup_ngram_jaccard,
+        dedup_semantic_keep,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower("text").cast("binary")).alias("content_key")
+    )
+    exact = docs.join(
+        dedup_exact_key(spark, sf_dir).select("content_key", "keeper_doc_id"),
+        "content_key",
+    ).select("doc_id", F.col("keeper_doc_id").alias("exact_keeper_id"))
+    near = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .groupBy(F.col("b_id").alias("doc_id"))
+        .agg(F.min("a_id").alias("near_dup_of"))
+    )
+    sem = dedup_semantic_keep(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("action").alias("sem_action")
+    )
+    fused = (
+        exact.join(near, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .withColumn("semantic_action", F.coalesce("sem_action", F.lit("keep")))
+    )
+    verdict = (
+        F.when(F.col("doc_id") != F.col("exact_keeper_id"), F.lit("exact_dup"))
+        .when(F.col("near_dup_of").isNotNull(), F.lit("near_dup"))
+        .when(F.col("semantic_action") == "drop", F.lit("semantic_dup"))
+        .otherwise(F.lit("keep"))
+    )
+    return fused.select(
+        "doc_id",
+        "exact_keeper_id",
+        "near_dup_of",
+        "semantic_action",
+        verdict.alias("final_verdict"),
+    )
