@@ -19,6 +19,12 @@ from pyspark.sql import functions as F
 from data_collection_ieee_spark.catalog import load_table
 from data_collection_ieee_spark.registry import query
 
+# vocabulary size above which tf-idf's df table stops being broadcast
+# (1M (token, df) rows ≈ 25 MB serialized — comfortably inside driver
+# and executor memory; past that the token keyspace is wide enough
+# that the ordinary shuffle join has no per-key skew to fear)
+_BROADCAST_VOCAB_MAX = 1_000_000
+
 _STOPWORDS = ("the", "a", "of", "and", "to")
 _SQL_STOP = "', '".join(_STOPWORDS)
 
@@ -43,15 +49,35 @@ FROM tf JOIN df USING (token) CROSS JOIN n
 )
 def text_wordcount_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-SQL tf-idf: explode → (doc,term) counts → document
-    frequencies → weight join. Two shuffles (doc+term, term) and a
-    broadcast of the 1-row corpus count — the classic scalable shape."""
+    frequencies → weight join. One shuffle for tf (doc+term), a
+    broadcast of the vocabulary-sized df table and of the 1-row
+    corpus count.
+
+    The df join is the scale trap this query exists to demonstrate:
+    joining the (doc,term) frame to df ON TOKEN shuffles hundreds of
+    millions of rows into a keyspace whose cardinality is the VOCAB —
+    when the vocabulary is small the shuffle lands on ≤|vocab|
+    reducers no matter how many partitions are configured, and each
+    decade multiplies rows-per-reducer (measured 59.7× time at 10×
+    data, sf10→sf100, before this fix). df is |vocab| rows of 16
+    bytes, so the correct plan is a broadcast-hash join — tf streams
+    straight out of its aggregate with NO exchange on token. The
+    1-row decision job (df persisted + counted, the dedup max-df
+    device) keeps the shuffle join available for corpora whose vocab
+    outgrows a sane broadcast (rows-per-key skew vanishes in exactly
+    that regime)."""
+    from data_collection_ieee_spark.catalog import persist_tracked
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    df = persist_tracked(
+        tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    )
+    n_terms = df.count()
     n = docs.agg(F.count("*").alias("n_docs"))
     return (
-        tf.join(df, "token")
+        tf.join(F.broadcast(df) if n_terms <= _BROADCAST_VOCAB_MAX else df, "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
