@@ -28,10 +28,60 @@ from data_collection_ieee_spark import registry
 from data_collection_ieee_spark.session import get_spark
 
 
+def _foreign_spark_jvms() -> list[str]:
+    """PIDs+cmd snippets of OTHER live Spark JVMs on this host.
+
+    A bench started seconds after a big correctness/campaign JVM exits
+    (or while one is still running) reads the alphabetically-first
+    queries 2-3.5x high — round 12's first closing pass recorded six
+    phantom 2x breaches that a settled-host re-run erased. This guard
+    turns that folklore into a recorded fact: bench_out.json carries
+    `settled_host` so a hot measurement can never masquerade as a
+    clean one. Matches the real JVM argv (org.apache.spark launcher
+    classes), not wrapper shells, to avoid the pgrep-matches-our-own-
+    wrapper footgun."""
+    out: list[str] = []
+    try:
+        import subprocess
+
+        ps = subprocess.run(
+            ["ps", "-eo", "pid,args"], capture_output=True, text=True, timeout=10
+        ).stdout
+        for line in ps.splitlines():
+            if "org.apache.spark" in line and "java" in line:
+                out.append(line.strip()[:160])
+    except Exception:
+        pass  # guard is best-effort; never block the measurement
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    # Settled-host guard: wait (bounded) for foreign Spark JVMs to
+    # drain, then stamp the verdict into the output either way.
+    settle_wait = int(os.environ.get("SPARK_GRAFT_SETTLE_WAIT", "90"))
+    foreign = _foreign_spark_jvms()
+    waited = 0
+    while foreign and waited < settle_wait:
+        time.sleep(5)
+        waited += 5
+        foreign = _foreign_spark_jvms()
+    settled_host = not foreign
+    if not settled_host:
+        print(
+            json.dumps(
+                {
+                    "warning": "bench starting on a CONTENDED host; "
+                    "timings will read high",
+                    "foreign_spark_jvms": foreign[:3],
+                }
+            ),
+            file=sys.stderr,
+            flush=True,
+        )
 
     registry.load_all()
     spark = get_spark("dcis-bench")
@@ -92,6 +142,7 @@ def main() -> None:
         "queries": per_query,
         "errors": errors,
         "sf": sf,
+        "settled_host": settled_host,
     }
     if errors:
         full["partial_total_sec"] = total
@@ -114,6 +165,7 @@ def main() -> None:
         "value": value,
         "unit": "sec",
         "sf": sf,
+        "settled_host": settled_host,
         "n_queries": len(per_query),
         "n_errors": len(errors),
         "queries_full_file": "bench_out.json",

@@ -905,14 +905,30 @@ def _affinity_pairs(cp: DataFrame, cap: int = _HOT_BUYERS_CAP) -> DataFrame:
     # cross-bucket: left side owns bucket i and replicates to every
     # j > i; right side owns bucket j and replicates to every i < j —
     # the (p, i, j) equi-key lands exactly one (bucket_i × bucket_j)
-    # block per task
+    # block per task.
+    # Spark's sequence(start, stop) DESCENDS when start > stop
+    # (sequence(0, -1) = [0, -1]), so the boundary buckets (b = nbk-1
+    # on the left, b = 0 on the right) would emit spurious rows with
+    # j = nbk / i = -1 / i = j; those keys can never match the
+    # opposite side today, but guard explicitly so a bucket-numbering
+    # edit can't turn them into duplicate pairs (ADVICE r12).
+    _empty_int_arr = F.array().cast("array<int>")
     left = hot.select(
         "p", F.col("c").alias("ca"), F.col("b").alias("i"),
-        F.explode(F.sequence(F.col("b") + 1, F.col("nbk") - 1)).alias("j"),
+        F.explode(
+            F.when(
+                F.col("b") + 1 <= F.col("nbk") - 1,
+                F.sequence(F.col("b") + 1, F.col("nbk") - 1),
+            ).otherwise(_empty_int_arr)
+        ).alias("j"),
     )
     right = hot.select(
         "p", F.col("c").alias("cb"), F.col("b").alias("j"),
-        F.explode(F.sequence(F.lit(0), F.col("b") - 1)).alias("i"),
+        F.explode(
+            F.when(
+                F.col("b") >= 1, F.sequence(F.lit(0), F.col("b") - 1)
+            ).otherwise(_empty_int_arr)
+        ).alias("i"),
     )
     hot_cross = left.join(right, ["p", "i", "j"]).select(
         F.least("ca", "cb").alias("a_id"),

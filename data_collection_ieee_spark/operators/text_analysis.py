@@ -19,11 +19,17 @@ from pyspark.sql import functions as F
 from data_collection_ieee_spark.catalog import load_table
 from data_collection_ieee_spark.registry import query
 
-# vocabulary size above which tf-idf's df table stops being broadcast
-# (1M (token, df) rows ≈ 25 MB serialized — comfortably inside driver
-# and executor memory; past that the token keyspace is wide enough
-# that the ordinary shuffle join has no per-key skew to fear)
-_BROADCAST_VOCAB_MAX = 1_000_000
+# estimated serialized size above which tf-idf's df table stops being
+# broadcast. Decided on BYTES, not row count (ADVICE r12): a sub-1M-row
+# vocabulary of long junk tokens (URLs, concatenated noise from the
+# whitespace split) can dwarf the 16-byte/row estimate a count-based
+# gate assumes. 64 MB is comfortably inside driver and executor
+# memory; past that the token keyspace is wide enough that the
+# ordinary shuffle join has no per-key skew to fear.
+_BROADCAST_VOCAB_MAX_BYTES = 64 * 1024 * 1024
+# per-row fixed overhead on top of the token bytes: 8-byte count +
+# UnsafeRow/offset bookkeeping
+_VOCAB_ROW_OVERHEAD = 24
 
 _STOPWORDS = ("the", "a", "of", "and", "to")
 _SQL_STOP = "', '".join(_STOPWORDS)
@@ -62,10 +68,13 @@ def text_wordcount_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     data, sf10→sf100, before this fix). df is |vocab| rows of 16
     bytes, so the correct plan is a broadcast-hash join — tf streams
     straight out of its aggregate with NO exchange on token. The
-    1-row decision job (df persisted + counted, the dedup max-df
-    device) keeps the shuffle join available for corpora whose vocab
-    outgrows a sane broadcast (rows-per-key skew vanishes in exactly
-    that regime)."""
+    1-row decision job (df persisted, token bytes summed — the dedup
+    max-df device) keeps the shuffle join available for corpora whose
+    vocab outgrows a sane broadcast (rows-per-key skew vanishes in
+    exactly that regime). The decision is on ESTIMATED BYTES
+    (sum(length(token)) + fixed row overhead), not row count, so a
+    long-token vocabulary can't blow past a size the row count alone
+    would admit (ADVICE r12)."""
     from data_collection_ieee_spark.catalog import persist_tracked
 
     docs = load_table(spark, sf_dir, "documents")
@@ -74,10 +83,15 @@ def text_wordcount_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = persist_tracked(
         tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     )
-    n_terms = df.count()
+    sz = df.agg(
+        (
+            F.coalesce(F.sum(F.length("token")), F.lit(0))
+            + F.count("*") * _VOCAB_ROW_OVERHEAD
+        ).alias("est_bytes")
+    ).collect()[0]["est_bytes"]
     n = docs.agg(F.count("*").alias("n_docs"))
     return (
-        tf.join(F.broadcast(df) if n_terms <= _BROADCAST_VOCAB_MAX else df, "token")
+        tf.join(F.broadcast(df) if sz <= _BROADCAST_VOCAB_MAX_BYTES else df, "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
