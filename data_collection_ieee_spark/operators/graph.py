@@ -32,6 +32,10 @@ from data_collection_ieee_spark.registry import query
 _DAMPING = 0.85
 _PR_ITERS = 10
 _PR_TOPK = 20
+# fixed-point unit for the exact integer PageRank: 10^17 keeps every
+# intermediate (17·Σ ≤ 1.7e18) inside a signed 64-bit long while
+# leaving 8 guard digits under the 10^-9 output rounding
+_PR_SCALE = 10**17
 
 # prompt-GC shuffle cleanup pays only when a round's shuffle is
 # disk-relevant; below this edge count the ~0.5 s/collection is pure
@@ -102,17 +106,30 @@ def pagerank(
     damping: float = _DAMPING,
 ) -> DataFrame:
     """Distributed PageRank on an undirected edge list (symmetrized
-    internally): returns (node, rank). Fixed iteration count — the
-    production pattern for bounded-latency centrality refresh jobs.
+    internally): returns (node, rank_scaled, rank). Fixed iteration
+    count — the production pattern for bounded-latency centrality
+    refresh jobs.
 
-    Per round: contributions = rank/out_degree shipped along edges
-    (join on src — ONE shuffle keyed by node id), summed per dst in
-    exact DECIMAL(38,18) (order-independent — bit-deterministic under
-    any partitioning), then rank = (1−d)/N + d·Σ. Symmetrization
-    removes dangling nodes by construction (every node that appears
-    has an outgoing edge). `localCheckpoint` per round truncates
-    lineage so the plan stays O(1) across iterations (the CC-kernel
-    lesson, dedup.py:1315)."""
+    Arithmetic is INTEGER FIXED-POINT at `_PR_SCALE` (10^17) units —
+    exact, order-independent, and PORTABLE: floor division on
+    non-negative longs means Spark and any ANSI engine (the DuckDB
+    oracle unrolls the identical rounds) compute bit-identical ranks,
+    which a double or double→decimal formulation cannot promise
+    (Spark casts doubles to decimal via the shortest round-trip
+    string; DuckDB via the exact binary expansion — they disagree in
+    the 17th digit). Per round: contributions = rank div out_degree
+    shipped along edges (join on src — ONE shuffle keyed by node id),
+    long-summed per dst (map-side combine; bounded by total mass
+    10^17 so never overflows), then
+    rank = floor((den−num)·S/(den·N)) + num·(Σ div den) +
+    (num·(Σ mod den)) div den for damping = num/den (0.85 = 17/20) —
+    the decomposition keeps every intermediate ≤ ~10^17 for ANY
+    rational damping. Quantization loses < (N+E)/10^17 of mass per
+    round — ~10^-11 at sf0.1, invisible at the 10^-9 output rounding.
+    Symmetrization removes dangling nodes by construction (every node
+    that appears has an outgoing edge). `localCheckpoint` per round
+    truncates lineage so the plan stays O(1) across iterations (the
+    CC-kernel lesson, dedup.py:1315)."""
     # Stage the DISTINCT edge list to scratch parquet as its own job
     # and release the build shuffles before anything else runs: the
     # lineitem⋈orders + distinct pipeline holds ~20-40 GB of shuffle
@@ -186,7 +203,7 @@ def _pagerank_rounds(
     deg = sym.groupBy("src").agg(F.count("*").alias("out_deg"))
     edges_w = (
         sym.join(deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+        .select("src", "dst", "out_deg")
         .repartition("src")
         .persist()
     )
@@ -202,26 +219,34 @@ def _pagerank_rounds(
         if big_graph:
             _gc.collect()
             spark._jvm.System.gc()
-        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+        # exact rational damping num/den (0.85 → 17/20); base term and
+        # the init rank are exact Python-int floors — no engine's
+        # decimal-division rounding is ever involved
+        from fractions import Fraction as _Fr
+
+        num, den = (
+            _Fr(damping).limit_denominator(1_000_000).as_integer_ratio()
+        )
+        base = ((den - num) * _PR_SCALE) // (den * n)
+        ranks = nodes.select(
+            "node", F.lit(_PR_SCALE // n).cast("long").alias("rank_scaled")
+        )
+        damp_expr = (
+            f"{num}L * (coalesce(s, 0L) div {den}) + "
+            f"({num}L * (coalesce(s, 0L) % {den})) div {den}"
+        )
         for _ in range(iters):
             contrib = edges_w.join(
                 ranks, edges_w.src == ranks.node
-            ).select(
-                "dst",
-                (F.col("rank") * F.col("w"))
-                .cast("decimal(38,18)")
-                .alias("c"),
-            )
+            ).select("dst", F.expr("rank_scaled div out_deg").alias("c"))
             summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
             ranks = nodes.join(
                 summed, nodes.node == summed.dst, "left"
             ).select(
                 "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
-                ).alias("rank"),
+                (F.lit(base).cast("long") + F.expr(damp_expr)).alias(
+                    "rank_scaled"
+                ),
             )
             # truncate lineage: without this the plan doubles per round
             ranks = ranks.localCheckpoint(eager=True)
@@ -246,27 +271,92 @@ def _pagerank_rounds(
         # sit in the CacheManager until session end, shadowing every
         # later query's memory
         edges_w.unpersist()
-    return ranks
+    # expose both the exact scaled rank (what the oracle compares /
+    # the top-k orders by) and the double view consumers expect
+    return ranks.select(
+        "node",
+        "rank_scaled",
+        (F.col("rank_scaled").cast("double") / F.lit(float(_PR_SCALE))).alias(
+            "rank"
+        ),
+    )
 
 
-@query("graph_pagerank")
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-point PageRank oracle: the `_PR_ITERS` rounds of
+    :func:`pagerank` (damping 17/20, scale `_PR_SCALE`) as plain SQL
+    CTEs — the `graph_label_propagation` unrolled-CTE device (VERDICT
+    r12 #2) applied to the second fixed-round iterative query. Every
+    operation is non-negative integer floor division / remainder, so
+    DuckDB reproduces Spark's longs bit-for-bit; the only float op is
+    the final CAST(int AS DOUBLE)/1e9, identical IEEE on both engines.
+    DuckDB's SUM(BIGINT) widens to HUGEINT — each round CASTs back to
+    BIGINT (values are bounded by total mass = `_PR_SCALE`)."""
+    s = _PR_SCALE
+    unit = s // 10**9  # output quantum: 1e-9 in scaled units
+    parts = [
+        f"""WITH edges AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+deg AS (SELECT src, COUNT(*) AS out_deg FROM sym GROUP BY src),
+nodes AS (SELECT src AS node FROM deg),
+p AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST({s} // n AS BIGINT) AS r FROM nodes, p)"""
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""",
+c{k} AS (
+  SELECT e.dst AS node, CAST(SUM(r.r // d.out_deg) AS BIGINT) AS cs
+  FROM sym e JOIN r{k - 1} r ON r.node = e.src
+             JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT nd.node,
+         CAST((3 * {s}) // (20 * p.n)
+              + 17 * (COALESCE(c.cs, 0) // 20)
+              + (17 * (COALESCE(c.cs, 0) % 20)) // 20 AS BIGINT) AS r
+  FROM nodes nd LEFT JOIN c{k} c ON c.node = nd.node, p
+)"""
+        )
+    parts.append(
+        f""",
+top AS (SELECT node, r FROM r{_PR_ITERS} ORDER BY r DESC, node ASC LIMIT {_PR_TOPK})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node ASC) AS INTEGER) AS pos,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+       CAST(node // 2 AS BIGINT) AS entity_key,
+       CAST((r + {unit // 2}) // {unit} AS DOUBLE) / 1e9 AS rank
+FROM top
+"""
+    )
+    return "".join(parts)
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PageRank centralities of the purchase graph with explicit
     rank positions — "which suppliers/customers anchor the purchase
-    network". No SQL oracle by design (iterative fixed-point; DuckDB
-    has no reasonable mirror): tests/test_round9_ops.py pins the full
-    rank vector against an independent numpy power iteration, plus the
-    Σrank=1 mass invariant."""
+    network". Value-hash oracled (VERDICT r12 #2) since the round-13
+    integer-fixed-point rewrite of :func:`pagerank`: the oracle unrolls
+    the identical 10 rounds as SQL CTEs, exact to the last bit;
+    tests/test_round9_ops.py additionally pins the full rank vector
+    against an independent numpy power iteration, plus the Σrank=1
+    mass invariant."""
     ranks = pagerank(spark, _purchase_edges(spark, sf_dir))
     # distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
     # (per-partition heads merged on one reducer) — a partitionless
     # row_number window over the full node table would single-thread
     # the entire rank vector instead (observed at sf10: WindowExec
-    # moved 217k rows to one partition)
-    top = ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(
-        _PR_TOPK
-    )
-    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    # moved 217k rows to one partition). Ordering key is the EXACT
+    # scaled long, so top-k ties can never depend on float noise.
+    top = ranks.orderBy(
+        F.col("rank_scaled").desc(), F.col("node").asc()
+    ).limit(_PR_TOPK)
+    w = Window.orderBy(F.col("rank_scaled").desc(), F.col("node").asc())
+    unit = _PR_SCALE // 10**9
     return (
         top.withColumn("pos", F.row_number().over(w))
         .select(
@@ -275,7 +365,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("supplier"))
             .alias("side"),
             (F.col("node") / 2).cast("long").alias("entity_key"),
-            F.round("rank", 9).alias("rank"),
+            # HALF-UP quantization to 1e-9 in exact integer space, then
+            # one identical IEEE division on both engines
+            (
+                F.expr(
+                    f"(rank_scaled + {unit // 2}L) div {unit}L"
+                ).cast("double")
+                / F.lit(1e9)
+            ).alias("rank"),
         )
     )
 

@@ -230,10 +230,48 @@ def _ann_ivf_impl(
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n_vecs = emb.count()
-    n_lists = _ivf_n_lists(n_vecs)
+    cents, cent_norms, assigned, n_lists = _ivf_build(emb)
     if n_probe is None:
         n_probe = max(N_PROBE, n_lists // 4)
+
+    # --- search: probe → N_PROBE nearest lists, computed driver-side
+    probe_vec = np.asarray(
+        emb.filter(F.col("vec_id") == PROBE_VEC_ID).first()["embedding"],
+        dtype=np.float64,
+    )
+    pcos = (cents @ probe_vec) / (cent_norms * np.linalg.norm(probe_vec) + 1e-300)
+    probe_lists = [int(b) for b in np.argsort(-pcos, kind="stable")[:n_probe]]
+    probe_lit = F.array(*[F.lit(float(x)) for x in probe_vec])
+
+    candidates = assigned.filter(
+        F.col("list_id").isin(probe_lists) & (F.col("vec_id") != PROBE_VEC_ID)
+    )
+    scored = candidates.select(
+        "vec_id",
+        "label",
+        F.round(
+            _dot(F.col("embedding"), probe_lit)
+            / (
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                * F.lit(float(np.linalg.norm(probe_vec)))
+            ),
+            4,
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(TOP_K)
+
+
+def _ivf_build(emb: DataFrame):
+    """Shared IVF index build (deterministic, no RNG) over a vector
+    frame with (vec_id, label, embedding) — the coarse quantizer both
+    `sim_ann_ivf` (single probe) and `sim_knn_join_ann` (batch probes)
+    search against. Returns (cents, cent_norms, assigned, n_lists)
+    where `assigned` adds a `list_id` column. See `_ann_ivf_impl`'s
+    docstring for the seeding/Lloyd rationale."""
+    import numpy as np
+
+    n_vecs = emb.count()
+    n_lists = _ivf_n_lists(n_vecs)
     dim_idx = list(range(64))
 
     # --- seeds: every ⌊N/n_lists⌋-th vector (vec_ids are dense ranks;
@@ -249,6 +287,10 @@ def _ann_ivf_impl(
     seeds = np.vstack(
         [np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows]
     )
+    # a pre-filtered frame (e.g. the KNN base side, which excludes the
+    # query ids) can yield fewer spread-sample seeds than requested —
+    # the list count IS the seed count from here on
+    n_lists = len(seeds)
     seed_norms = np.linalg.norm(seeds, axis=1)
 
     # --- one Lloyd step: assign to seeds, recompute per-list means
@@ -288,32 +330,7 @@ def _ann_ivf_impl(
     # centroid matrix (numpy closure ships the n_lists×64 table to
     # every task); argmax picks the lowest list on ties
     assigned = base.mapInPandas(assign_to(cents, cent_norms), schema=assign_schema)
-
-    # --- search: probe → N_PROBE nearest lists, computed driver-side
-    probe_vec = np.asarray(
-        emb.filter(F.col("vec_id") == PROBE_VEC_ID).first()["embedding"],
-        dtype=np.float64,
-    )
-    pcos = (cents @ probe_vec) / (cent_norms * np.linalg.norm(probe_vec) + 1e-300)
-    probe_lists = [int(b) for b in np.argsort(-pcos, kind="stable")[:n_probe]]
-    probe_lit = F.array(*[F.lit(float(x)) for x in probe_vec])
-
-    candidates = assigned.filter(
-        F.col("list_id").isin(probe_lists) & (F.col("vec_id") != PROBE_VEC_ID)
-    )
-    scored = candidates.select(
-        "vec_id",
-        "label",
-        F.round(
-            _dot(F.col("embedding"), probe_lit)
-            / (
-                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-                * F.lit(float(np.linalg.norm(probe_vec)))
-            ),
-            4,
-        ).alias("cos_sim"),
-    )
-    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(TOP_K)
+    return cents, cent_norms, assigned, n_lists
 
 
 _N_PLANES = 4  # 4-bit sign signature -> 16 buckets (see docstring on sizing)
@@ -442,6 +459,56 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_Q_CHUNK = 4096  # kernel scores at most this many queries at once
 
 
+def _round_half_away(x):
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4 + 0.0
+
+
+def _block_topk(base_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Cogrouped exact-cosine kernel shared by `sim_knn_join` (hash
+    blocks) and `sim_knn_join_ann` (IVF lists): scores base×query with
+    numpy matmuls (queries chunked at `_KNN_Q_CHUNK`) and emits the
+    block-LOCAL top-`_KNN_K` per query under the SAME key the global
+    window uses — (rounded cos desc, vec_id asc) — so local-then-global
+    selection is associative. Rounding is half-away-from-zero to match
+    Spark/DuckDB ROUND, not numpy's banker's rounding. Extra columns on
+    either frame (the cogroup key) are ignored by name."""
+    import numpy as np
+
+    empty = pd.DataFrame(
+        {
+            "q_id": pd.Series([], dtype="int64"),
+            "vec_id": pd.Series([], dtype="int64"),
+            "cos_sim": pd.Series([], dtype="float64"),
+        }
+    )
+    if len(base_pdf) == 0 or len(q_pdf) == 0:
+        return empty
+    m = np.vstack([np.asarray(v, dtype=np.float64) for v in base_pdf["embedding"]])
+    m_norms = np.linalg.norm(m, axis=1)
+    vids = base_pdf["vec_id"].to_numpy()
+    q_ids_all = q_pdf["q_id"].to_numpy()
+    out = [empty]
+    for lo in range(0, len(q_pdf), _KNN_Q_CHUNK):
+        chunk = q_pdf.iloc[lo : lo + _KNN_Q_CHUNK]
+        qm = np.vstack([np.asarray(v, dtype=np.float64) for v in chunk["q_emb"]])
+        q_norms = np.linalg.norm(qm, axis=1)
+        cos = (m @ qm.T) / (m_norms[:, None] * q_norms[None, :] + 1e-300)
+        cos = _round_half_away(cos)
+        q_ids = q_ids_all[lo : lo + _KNN_Q_CHUNK]
+        out_q, out_v, out_c = [], [], []
+        for j in range(len(q_ids)):
+            order = np.lexsort((vids, -cos[:, j]))[:_KNN_K]
+            out_q.extend([q_ids[j]] * len(order))
+            out_v.extend(vids[order])
+            out_c.extend(cos[order, j])
+        out.append(
+            pd.DataFrame({"q_id": out_q, "vec_id": out_v, "cos_sim": out_c})
+        )
+    return pd.concat(out, ignore_index=True)
+
+
 def _knn_join_impl(
     spark: SparkSession, sf_dir: str, n_blocks: int | None = None
 ) -> DataFrame:
@@ -505,48 +572,104 @@ def _knn_join_impl(
         .withColumn("blk", F.col("blk").cast("int"))
     )
 
-    def _round_half_away(x):
-        return np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4 + 0.0
-
-    def block_topk(base_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "q_id": pd.Series([], dtype="int64"),
-                "vec_id": pd.Series([], dtype="int64"),
-                "cos_sim": pd.Series([], dtype="float64"),
-            }
-        )
-        if len(base_pdf) == 0 or len(q_pdf) == 0:
-            return empty
-        m = np.vstack([np.asarray(v, dtype=np.float64) for v in base_pdf["embedding"]])
-        m_norms = np.linalg.norm(m, axis=1)
-        vids = base_pdf["vec_id"].to_numpy()
-        q_ids_all = q_pdf["q_id"].to_numpy()
-        out = [empty]
-        for lo in range(0, len(q_pdf), _KNN_Q_CHUNK):
-            chunk = q_pdf.iloc[lo : lo + _KNN_Q_CHUNK]
-            qm = np.vstack([np.asarray(v, dtype=np.float64) for v in chunk["q_emb"]])
-            q_norms = np.linalg.norm(qm, axis=1)
-            cos = (m @ qm.T) / (m_norms[:, None] * q_norms[None, :] + 1e-300)
-            cos = _round_half_away(cos)
-            q_ids = q_ids_all[lo : lo + _KNN_Q_CHUNK]
-            out_q, out_v, out_c = [], [], []
-            for j in range(len(q_ids)):
-                order = np.lexsort((vids, -cos[:, j]))[:_KNN_K]
-                out_q.extend([q_ids[j]] * len(order))
-                out_v.extend(vids[order])
-                out_c.extend(cos[order, j])
-            out.append(
-                pd.DataFrame({"q_id": out_q, "vec_id": out_v, "cos_sim": out_c})
-            )
-        return pd.concat(out, ignore_index=True)
-
     local = (
         base.groupby("blk")
         .cogroup(q_rep.groupby("blk"))
-        .applyInPandas(block_topk, schema="q_id bigint, vec_id bigint, cos_sim double")
+        .applyInPandas(
+            _block_topk, schema="q_id bigint, vec_id bigint, cos_sim double"
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("q_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+@query("sim_knn_join_ann")
+def sim_knn_join_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-backed batch KNN join (VERDICT r12 #6): same contract as
+    `sim_knn_join` but each query probes only its nearest IVF lists —
+    see `_knn_join_ann_impl`. No SQL oracle by design (approximate);
+    tests/test_round13_ops.py pins recall vs the exact join and proves
+    full-probe ≡ exact."""
+    return _knn_join_ann_impl(spark, sf_dir)
+
+
+def _knn_join_ann_impl(
+    spark: SparkSession, sf_dir: str, n_probe: int | None = None
+) -> DataFrame:
+    """IVF-accelerated KNN join — the scale path the exact
+    block-nested-loop (`_knn_join_impl`) can't walk at 100 TB, where
+    its Q×N work is a campaign, not a query (measured 33.4× per decade
+    at time/work 0.33). Composition of the two existing devices:
+
+    1. `_ivf_build` clusters the BASE side (non-query vectors) into
+       n_lists ∝ √N inverted lists — index cost is one extra corpus
+       pass, amortized across every query batch served.
+    2. Each query is routed to its `n_probe` nearest lists by one
+       Arrow-batched matmul against the n_lists×64 centroid matrix (a
+       task-closure constant, same device as the IVF assign) and
+       replicated ONLY to those lists — Q·n_probe rows instead of the
+       exact join's Q·n_blocks, and each list holds ~N/n_lists vectors,
+       so scored work is Q·N·(n_probe/n_lists), sublinear in Q×N as
+       n_lists grows with √N.
+    3. The same cogrouped `_block_topk` kernel scores each list's
+       base×query block (list_id is the cogroup key) and the same
+       per-query window picks the global top-k — so at n_probe =
+       n_lists this operator is EXACTLY `sim_knn_join` (the recall-1.0
+       equality pytest), and recall degrades only through list
+       routing, never through kernel or tie-break drift.
+    """
+    import numpy as np
+
+    if n_probe is not None and n_probe < 1:
+        raise ValueError("n_probe must be >= 1")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % _KNN_QMOD != 0)
+    cents, cent_norms, assigned, n_lists = _ivf_build(base)
+    if n_probe is None:
+        n_probe = max(N_PROBE, n_lists // 4)
+    n_probe = min(n_probe, n_lists)
+
+    q = emb.filter(F.col("vec_id") % _KNN_QMOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+    def route_queries(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["q_emb"]]
+            )
+            cos = (qm @ cents.T) / (
+                np.linalg.norm(qm, axis=1)[:, None] * cent_norms[None, :]
+                + 1e-300
+            )
+            # stable argsort: deterministic probe sets under cosine ties
+            lists = np.argsort(-cos, axis=1, kind="stable")[:, :n_probe]
+            idx = np.repeat(np.arange(len(pdf)), n_probe)
+            out = pdf.iloc[idx][["q_id", "q_emb"]].copy()
+            out["list_id"] = lists.ravel().astype("int32")
+            yield out
+
+    q_rep = q.mapInPandas(
+        route_queries, schema="q_id bigint, q_emb array<float>, list_id int"
+    )
+    local = (
+        assigned.select("vec_id", "embedding", "list_id")
+        .groupby("list_id")
+        .cogroup(q_rep.groupby("list_id"))
+        .applyInPandas(
+            _block_topk, schema="q_id bigint, vec_id bigint, cos_sim double"
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
     return (
         local.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _KNN_K)
