@@ -579,6 +579,108 @@ def mix_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hash-prefix buckets bounding any one pack window task: ordering by
+# (bucket, h, doc_id) == (h, doc_id) because the bucket is a prefix of h
+_PACK_BUCKETS = 256
+
+
+def _token_budget_pack_oracle() -> str:
+    """Composed from `mix_temperature_resample`'s registered SQL (the
+    dedup-manifest precedent) so the per-source targets can never drift
+    from the weights operator this query consumes."""
+    from data_collection_ieee_spark.registry import ORACLES
+
+    return f"""
+WITH mt AS ({ORACLES["mix_temperature_resample"]}),
+t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT c.doc_id, c.source, c.n_tokens,
+       CAST(c.cum_tokens AS BIGINT) AS cum_tokens,
+       mt.target_tokens
+FROM c JOIN mt ON c.source = mt.source
+WHERE c.cum_tokens - c.n_tokens < mt.target_tokens
+"""
+
+
+@query("mix_token_budget_pack", oracle=_token_budget_pack_oracle)
+def mix_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget keep-list (VERDICT r12 #9) — the
+    CONSUMER of `mix_temperature_resample`'s weights: given each
+    source's target token allocation, emit the documents that fill it.
+    Documents are admitted in md5(doc_id) order — the repo's standard
+    coordination-free deterministic shuffle (same family as
+    `sample_hash_split`), reproducible across runs, engines, and
+    cluster sizes, and stable under corpus growth — until the source's
+    budget is covered; the document that crosses the boundary is kept
+    (minimal covering prefix), and a source whose target exceeds its
+    supply (epochs > 1) keeps everything and repeats at training time.
+
+    Scale shape: the per-source running token sum is the one hazard —
+    PARTITION BY source puts a whole source (possibly 1/10th of the
+    corpus) in one window task. The bucketed-offset device (the
+    `agg_weighted_percentiles` family): docs hash into `_PACK_BUCKETS`
+    prefix-ordered buckets, per-(source,bucket) token sums prefix-sum
+    on a |sources|x256 frame, and each doc's global cumulative = its
+    bucket offset + a within-(source,bucket) window — every sort task
+    bounded at ~1/256th of a source. Targets ride a broadcast of the
+    |sources|-row `mix_temperature_resample` output (invoked directly,
+    so query and oracle consume the SAME weights by construction)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+    )
+    docs = docs.withColumn(
+        "b",
+        F.expr("cast(conv(substring(h, 1, 2), 16, 10) as int)"),
+    )
+    per_bucket = docs.groupBy("source", "b").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = per_bucket.select(
+        "source",
+        "b",
+        (F.sum("bucket_tokens").over(w_src) - F.col("bucket_tokens")).alias(
+            "offset_tokens"
+        ),
+    )
+    targets = mix_temperature_resample(spark, sf_dir).select(
+        "source", "target_tokens"
+    )
+    w_in = (
+        Window.partitionBy("source", "b")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        docs.withColumn("cum_in_bucket", F.sum("n_tokens").over(w_in))
+        .join(F.broadcast(offsets), ["source", "b"])
+        .join(F.broadcast(targets), "source")
+        .withColumn(
+            "cum_tokens", F.col("offset_tokens") + F.col("cum_in_bucket")
+        )
+    )
+    return cum.filter(
+        F.col("cum_tokens") - F.col("n_tokens") < F.col("target_tokens")
+    ).select("doc_id", "source", "n_tokens", "cum_tokens", "target_tokens")
+
+
 def _scorecard_oracle() -> str:
     """Compose the constituents' registered oracle SQL as CTEs — the
     scorecard's oracle can never drift from the operators it joins.

@@ -85,3 +85,97 @@ def test_knn_join_ann_recall_monotone_in_probes(spark, sf_dir, exact_knn):
     r_full = mean_recall(_knn_join_ann_impl(spark, sf_dir, n_probe=10**6))
     assert r1 <= r_full + 1e-12
     assert r_full == pytest.approx(1.0)
+
+
+def _pack_reference(spark, sf_dir):
+    """Driver-side reference pack: per source, admit docs in
+    (md5(doc_id), doc_id) order until the target is covered."""
+    import hashlib
+
+    from data_collection_ieee_spark.catalog import load_table
+    from data_collection_ieee_spark.operators.pipeline import (
+        mix_temperature_resample,
+    )
+    from pyspark.sql import functions as F
+
+    targets = {
+        r["source"]: r["target_tokens"]
+        for r in mix_temperature_resample(spark, sf_dir).collect()
+    }
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .collect()
+    )
+    by_source = {}
+    for r in docs:
+        h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        by_source.setdefault(r["source"], []).append(
+            (h, r["doc_id"], r["n_tokens"])
+        )
+    kept = {}
+    for src, rows in by_source.items():
+        rows.sort()
+        cum = 0
+        for h, doc_id, n_tokens in rows:
+            if cum >= targets[src]:
+                break
+            cum += n_tokens
+            kept[doc_id] = (src, n_tokens, cum, targets[src])
+    return kept
+
+
+def test_mix_token_budget_pack_matches_reference(spark, sf_dir):
+    from data_collection_ieee_spark.operators.pipeline import (
+        mix_token_budget_pack,
+    )
+
+    ref = _pack_reference(spark, sf_dir)
+    got = {
+        r["doc_id"]: (
+            r["source"],
+            r["n_tokens"],
+            r["cum_tokens"],
+            r["target_tokens"],
+        )
+        for r in mix_token_budget_pack(spark, sf_dir).collect()
+    }
+    assert got == ref
+
+
+def test_mix_token_budget_pack_deterministic_and_minimal(spark, sf_dir):
+    from data_collection_ieee_spark.operators.pipeline import (
+        mix_token_budget_pack,
+    )
+
+    from data_collection_ieee_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows1 = sorted(map(tuple, mix_token_budget_pack(spark, sf_dir).collect()))
+    rows2 = sorted(map(tuple, mix_token_budget_pack(spark, sf_dir).collect()))
+    assert rows1 == rows2  # byte-identical across runs
+    supply = {
+        r["source"]: r["supply"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " ")).cast("long")).alias("supply"))
+        .collect()
+    }
+    per_src = {}
+    for doc_id, src, n_tokens, cum, target in rows1:
+        s = per_src.setdefault(src, {"kept": 0, "max_cum": 0, "target": target})
+        s["kept"] += n_tokens
+        s["max_cum"] = max(s["max_cum"], cum)
+        assert cum - n_tokens < target  # every kept doc starts in-budget
+    for src, s in per_src.items():
+        # prefix-ness: max cumulative == sum of kept tokens means the
+        # kept set is one contiguous prefix of the hash order
+        assert s["max_cum"] == s["kept"]
+        # covering: the pack reaches the target unless supply ran out
+        # (epochs > 1 sources keep everything and repeat at training)
+        assert s["kept"] >= min(s["target"], supply[src])
+    assert set(per_src) == set(supply)  # every source packed
