@@ -322,27 +322,29 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     the low-cardinality twin of the global-window trap, and the decade
     constant only worsens (measured 9.4× at sf1→sf10 with exactly 3
     tasks doing all the work). Instead the exact global rank within
-    each status is computed by the :func:`_ntile4_dense`
-    literal-boundary pattern, extended to composite (status, bucket)
-    keys: per-status approx-percentile bounds bucket the prices, a tiny
+    each status is computed by bucket offsets: per-status equal-width
+    `width_bucket` buckets over [min, max] (the
+    `agg_weighted_percentiles` device — O(1) per row and measured
+    1.45×/decade on the same shape; the r12 NB=32 percentile-bounds
+    form ran a 31-comparison chain per row AND left ~1.5M rows per
+    window task at sf100, the VERDICT r12 superlinear item), a tiny
     counts job turns bucket sizes into rank offsets, and per-bucket
-    row_number + offset IS the exact rank (ties on a boundary land in
-    one bucket by strict <, and the (price, key) order is total).
+    row_number + offset IS the exact rank (equal prices share a
+    bucket by construction, and the (price, key) order is total).
     percent_rank/cume_dist are then arithmetic on (rank, n_status).
-    All collects are bounded index metadata (3 statuses × ≤31 bounds,
-    ≤3×33 counts) — never data."""
-    NB = 32
+    All collects are bounded index metadata (3 statuses × ≤1027
+    counts) — never data. NB=1024 bounds any window task at n/1024
+    rows per status — ~49k at sf100; balance needs only a non-degenerate
+    price spread, not quantiles."""
+    NB = 1024
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    qs = [i / NB for i in range(1, NB)]
-    # accuracy 500 ≈ ±0.2% rank error per bound — the bounds only
-    # balance bucket sizes (correctness never depends on them), so the
-    # cheap sketch is the right one
     stats = (
         o.groupBy("o_orderstatus")
         .agg(
-            F.percentile_approx("o_totalprice", qs, 500).alias("bounds"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
             F.count("*").alias("n"),
         )
         .collect()
@@ -366,23 +368,30 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         return NULL_KEY if status is None else status
 
     n_by_status = {_skey(r["o_orderstatus"]): r["n"] for r in stats}
-    # bucket id within each status: count of that status's boundary
-    # values strictly below the price (ASC order ⇒ bucket 0 smallest);
-    # NULL prices go to a dedicated final bucket (ASC NULLS LAST, the
-    # DuckDB default the oracle uses; orders data has none, the guard
-    # keeps the plan total)
-    bucket = F.lit(None)
-    for r in stats:
-        bounds = sorted(set(r["bounds"] or []))
-        bexpr = (
-            sum((F.col("o_totalprice") > F.lit(b)).cast("int") for b in bounds)
-            if bounds
-            else F.lit(0)
+    skey_col = F.coalesce(F.col("o_orderstatus"), F.lit(NULL_KEY))
+    # equal-width bucket id within each status via width_bucket over
+    # the per-status [lo, hi] (map-looked-up constants): monotone in
+    # price, so equal prices always share a bucket and bucket order is
+    # price order. NULL prices go to a dedicated final bucket (ASC
+    # NULLS LAST, the DuckDB default the oracle uses; orders data has
+    # none, the guard keeps the plan total); a degenerate single-price
+    # status collapses to bucket 0.
+    lomap = F.create_map(
+        *[F.lit(x) for r in stats for x in (_skey(r["o_orderstatus"]), r["lo"])]
+    )
+    himap = F.create_map(
+        *[F.lit(x) for r in stats for x in (_skey(r["o_orderstatus"]), r["hi"])]
+    )
+    bucket = (
+        F.when(F.col("o_totalprice").isNull(), F.lit(NB + 2))
+        .when(
+            lomap[skey_col] < himap[skey_col],
+            F.width_bucket(
+                F.col("o_totalprice"), lomap[skey_col], himap[skey_col], F.lit(NB)
+            ),
         )
-        bexpr = F.when(F.col("o_totalprice").isNull(), F.lit(NB)).otherwise(bexpr)
-        bucket = F.when(
-            F.col("o_orderstatus").eqNullSafe(F.lit(r["o_orderstatus"])), bexpr
-        ).otherwise(bucket)
+        .otherwise(F.lit(0))
+    )
     bucketed = o.select("*", bucket.cast("int").alias("_bkt"))
 
     cnts = (
@@ -399,8 +408,6 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc_by_status[s] = offsets[key] + r["cnt"]
     omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     nmap = F.create_map(*[F.lit(x) for kv in n_by_status.items() for x in kv])
-
-    skey_col = F.coalesce(F.col("o_orderstatus"), F.lit(NULL_KEY))
     rank = (
         F.row_number().over(
             Window.partitionBy("o_orderstatus", "_bkt").orderBy(
