@@ -19,8 +19,24 @@ memoryUsedBytes from the final StreamingQueryProgress) rather than
 asserting it. Emits one JSON line per (op, K) and a BASELINE.md-ready
 markdown table.
 
+Round 13 (VERDICT r12 #8) adds two probes:
+  --provider rocksdb    run the same sweep under
+                        RocksDBStateStoreProvider instead of the
+                        default HDFS-backed store (per-query conf, set
+                        before each stream starts), so the two
+                        providers' state accounting and walls can be
+                        compared side by side in BASELINE.md.
+  --recovery            measure the RESTART wall: phase 1 processes
+                        half the staged files against a durable
+                        checkpoint and stops; phase 2 restarts the
+                        same query over the full directory — its wall
+                        is checkpoint state reload + the remaining
+                        batches, the number an on-call engineer cares
+                        about after an executor loss.
+
 Usage: SPARK_DRIVER_MEMORY=32g python tools/stream_statestore.py \
-         [--rows 2000000] [--keys 1000 10000 100000] [--files 4]
+         [--rows 2000000] [--keys 1000 10000 100000] [--files 4] \
+         [--provider hdfs|rocksdb] [--recovery]
 """
 
 from __future__ import annotations
@@ -106,15 +122,95 @@ def run_capture(df, mode: str = "update") -> tuple[float, dict]:
     return wall, ops
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def run_recovery(spark, build, src_file: str, out_dir: str, tag: str) -> dict:
+    """Restart-from-checkpoint wall (VERDICT r12 #8): phase 1 streams
+    the first half of the files against a durable checkpoint and
+    terminates; phase 2 drops the second half into the source dir and
+    restarts the SAME query — its wall covers provider state reload
+    plus the remaining batches. Returns both walls so the provider
+    comparison can separate reload cost from steady processing."""
+    import shutil
+
+    from data_collection_ieee_spark.catalog import normalize_events_ts
+    from data_collection_ieee_spark.streaming import stateful as _st
+
+    work = os.path.join(out_dir, f"recovery_{tag}_{uuid.uuid4().hex[:8]}")
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    sink = os.path.join(work, "sink")
+    os.makedirs(src, exist_ok=True)
+    tbl = pq.read_table(src_file)
+    n_files = 4
+    step = (tbl.num_rows + n_files - 1) // n_files
+    chunks = [tbl.slice(i * step, step) for i in range(n_files)]
+    now = time.time()
+    for i, c in enumerate(chunks[:2]):
+        p = os.path.join(src, f"events_{i:03d}.parquet")
+        pq.write_table(c, p)
+        os.utime(p, (now + i, now + i))  # strictly increasing mtimes
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src).schema
+
+    def stream_df():
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return normalize_events_ts(raw)
+
+    def start():
+        # the memory sink forbids checkpoint recovery; the repo's
+        # idempotent foreachBatch parquet sink is the production
+        # delivery path (same pattern as
+        # test_stateful_checkpoint_resume_across_restarts)
+        return (
+            _st.idempotent_parquet_sink(build(stream_df()), sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    t0 = time.time()
+    q = start()
+    q.awaitTermination()
+    phase1 = time.time() - t0
+    q.stop()
+    for i, c in enumerate(chunks[2:], start=2):
+        p = os.path.join(src, f"events_{i:03d}.parquet")
+        pq.write_table(c, p)
+        os.utime(p, (now + i, now + i))
+    t0 = time.time()
+    q = start()
+    q.awaitTermination()
+    recovery = time.time() - t0
+    q.stop()
+    shutil.rmtree(work, ignore_errors=True)
+    return {"phase1_wall_s": round(phase1, 3), "recovery_wall_s": round(recovery, 3)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_000_000)
     ap.add_argument("--keys", type=int, nargs="*", default=[1000, 10000, 100000])
     ap.add_argument("--files", type=int, default=4)
     ap.add_argument("--out", default="/tmp/dcis_statestore")
+    ap.add_argument("--provider", choices=["hdfs", "rocksdb"], default="hdfs")
+    ap.add_argument("--recovery", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark("stream-statestore")
+    if args.provider == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+        )
     recs = []
     for n_keys in args.keys:
         sf_dir = synth_events(args.out, args.rows, n_keys)
@@ -136,10 +232,21 @@ def main() -> int:
                 "n_keys": n_keys,
                 "rows": args.rows,
                 "micro_batches": args.files,
+                "provider": args.provider,
                 "wall_s": round(wall, 3),
                 "state_rows": ops.get("numRowsTotal"),
                 "state_bytes": ops.get("memoryUsedBytes"),
             }
+            if args.recovery:
+                rec.update(
+                    run_recovery(
+                        spark,
+                        build,
+                        os.path.join(sf_dir, "events.parquet"),
+                        args.out,
+                        f"{op_name}_{n_keys}_{args.provider}",
+                    )
+                )
             recs.append(rec)
             print(json.dumps(rec), flush=True)
 
@@ -149,13 +256,21 @@ def main() -> int:
     def fmt(v):
         return f"{v:,}" if isinstance(v, int) else "n/a"
 
-    print("\n| op | distinct keys | state rows | state bytes | wall s |")
-    print("|---|---|---|---|---|")
+    hdr = "| op | provider | distinct keys | state rows | state bytes | wall s |"
+    cols = 6
+    if args.recovery:
+        hdr = hdr[:-1] + " phase1 s | recovery s |"
+        cols += 2
+    print("\n" + hdr)
+    print("|" + "---|" * cols)
     for r in recs:
-        print(
-            f"| {r['op']} | {fmt(r['n_keys'])} | {fmt(r['state_rows'])} "
-            f"| {fmt(r['state_bytes'])} | {r['wall_s']} |"
+        line = (
+            f"| {r['op']} | {r['provider']} | {fmt(r['n_keys'])} "
+            f"| {fmt(r['state_rows'])} | {fmt(r['state_bytes'])} | {r['wall_s']} |"
         )
+        if args.recovery:
+            line += f" {r['phase1_wall_s']} | {r['recovery_wall_s']} |"
+        print(line)
     return 0
 
 
