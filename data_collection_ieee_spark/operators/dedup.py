@@ -1061,6 +1061,17 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
        tested in tests/test_llm_ops.py). The driver corpora sit far
        below the target, so the default path is single-block.
 
+    Bounded-spill campaign mode (SPARK_GRAFT_PAIR_PASSES=K > 1, r13):
+    the block-pair GROUP space is sharded by pair_id % K and each
+    shard runs as its own job (`_run_pair_passes`). The replication
+    shuffle (each vector rides to every admissible block-pair group
+    it belongs to) is the disk hazard at the third decade — at sf100
+    (2M vectors, quadratic candidate mass on the synthetic fixture)
+    the single-pass form overran a 51 GB disk (round-13 campaign);
+    per-pass volume is ~1/K. Outputs are disjoint and final (every
+    vector pair lands in exactly one pair_id), so no cross-pass merge;
+    pass-mode equality pytested.
+
     Oracle: the exact all-pairs threshold join — this plan must and
     does reproduce it bit-for-bit at the 4-decimal rounding."""
     return _embed_cosine_pairs(spark, sf_dir)
@@ -1154,21 +1165,12 @@ def _embed_cosine_pairs(
                         admissible.append((pid, i, bi, "a"))
                         admissible.append((pid, j, bj, "b"))
                         pid += 1
-    pairs_df = spark.createDataFrame(
-        admissible, schema="pair_id int, member_list int, member_sub int, side string"
-    )
-
     # --- 4. per-block-pair matmul (sub_id: deterministic hash mod n_sub,
     # so membership never depends on row order or partitioning)
     nsub_map = F.create_map(*[F.lit(x) for kv in nsub.items() for x in kv])
     sub_assigned = assigned.withColumn(
         "sub_id", F.pmod(F.xxhash64("vec_id"), F.element_at(nsub_map, F.col("list_id"))).cast("int")
     )
-    rep = sub_assigned.join(
-        F.broadcast(pairs_df),
-        (sub_assigned.list_id == pairs_df.member_list)
-        & (sub_assigned.sub_id == pairs_df.member_sub),
-    ).select("pair_id", "side", "vec_id", "embedding")
 
     def block_pairs(pdf_in: pd.DataFrame) -> pd.DataFrame:
         is_self = (pdf_in["side"] == "s").any()
@@ -1194,8 +1196,38 @@ def _embed_cosine_pairs(
             out = out[a_ids[ai] < b_ids[bi]]
         return out
 
-    return rep.groupBy("pair_id").applyInPandas(
-        block_pairs, schema="a_id bigint, b_id bigint, cos_sim double"
+    def build_pass(shard: tuple[int, int] | None = None) -> DataFrame:
+        # shard the block-pair GROUP space: pair_id % K == k. Each
+        # vector is replicated only to this pass's groups, so the
+        # replication shuffle — the per-node-disk hazard at the third
+        # decade — is ~1/K per pass; every vector pair still lands in
+        # exactly one pair_id, so pass outputs are disjoint and final.
+        subset = (
+            admissible
+            if shard is None
+            else [t for t in admissible if t[0] % shard[1] == shard[0]]
+        )
+        pairs_df = spark.createDataFrame(
+            subset,
+            schema="pair_id int, member_list int, member_sub int, side string",
+        )
+        rep = sub_assigned.join(
+            F.broadcast(pairs_df),
+            (sub_assigned.list_id == pairs_df.member_list)
+            & (sub_assigned.sub_id == pairs_df.member_sub),
+        ).select("pair_id", "side", "vec_id", "embedding")
+        return rep.groupBy("pair_id").applyInPandas(
+            block_pairs, schema="a_id bigint, b_id bigint, cos_sim double"
+        )
+
+    n_passes = _n_pair_passes()
+    if n_passes == 1:
+        return build_pass()
+    return _run_pair_passes(
+        spark,
+        "embed_cosine",
+        n_passes,
+        lambda k: build_pass((k, n_passes)),
     )
 
 

@@ -1056,7 +1056,25 @@ def _affinity_edge_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_SHARED_PARTS_MIN` distinct purchased parts. The hot-part-safe
     pair build (`_affinity_pairs`) feeds one pair-count aggregate with
     map-side combine. Shared by `graph_connected_users` and
-    `graph_label_propagation`."""
+    `graph_label_propagation`.
+
+    Bounded-spill campaign mode (SPARK_GRAFT_PAIR_PASSES=K > 1, r13):
+    the co-purchase pair mass is Σ C(buyers_p, 2) ≈ 9B rows at sf100
+    (~140 GB of aggregate shuffle — the round-13 campaign's LPA run
+    overran the disk on exactly this frame). Pairs shard by
+    xxhash64(a_id) % K — the pair's SMALLER customer id, so every
+    (a, b) pair's full per-part multiplicity lands in exactly one
+    shard and the shared-parts count never needs a cross-pass merge.
+    The filter sits between the in-row/bucket-pair explodes and the
+    groupBy, so Catalyst applies it before the aggregate exchange:
+    per-pass shuffle ~1/K, at the price of re-running the linear cp
+    build + explode per pass (the ngram-postings trade). Equality
+    pytested at K=3 (tests/test_round13_ops.py)."""
+    from data_collection_ieee_spark.operators.dedup import (
+        _n_pair_passes,
+        _run_pair_passes,
+    )
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -1068,12 +1086,27 @@ def _affinity_edge_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    return (
-        _affinity_pairs(cp)
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("shared"))
-        .filter(F.col("shared") >= _SHARED_PARTS_MIN)
-        .select("a_id", "b_id")
+
+    def edges_for(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("shared"))
+            .filter(F.col("shared") >= _SHARED_PARTS_MIN)
+            .select("a_id", "b_id")
+        )
+
+    n_passes = _n_pair_passes()
+    if n_passes == 1:
+        return edges_for(_affinity_pairs(cp))
+    return _run_pair_passes(
+        spark,
+        "affinity_edges",
+        n_passes,
+        lambda k: edges_for(
+            _affinity_pairs(cp).filter(
+                F.pmod(F.xxhash64("a_id"), F.lit(n_passes)) == k
+            )
+        ),
     )
 
 
