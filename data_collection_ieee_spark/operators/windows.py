@@ -332,11 +332,16 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number + offset IS the exact rank (equal prices share a
     bucket by construction, and the (price, key) order is total).
     percent_rank/cume_dist are then arithmetic on (rank, n_status).
-    All collects are bounded index metadata (3 statuses × ≤1027
-    counts) — never data. NB=1024 bounds any window task at n/1024
-    rows per status — ~49k at sf100; balance needs only a non-degenerate
-    price spread, not quantiles."""
-    NB = 1024
+    All collects are bounded index metadata (3 statuses × ≤NB+3
+    counts) — never data. NB is COUNT-SCALED from the stats job
+    (smallest power of two keeping ≤ ~50k rows per bucket, clamped
+    [32, 2048]): a fixed large NB pays a per-row penalty at small
+    scale — the offset lookup is a literal create_map, and Spark
+    scans map literals linearly per row, so NB=1024 read 2.08× its
+    freeze at sf0.1 (round-13 closing bench) — while a fixed small NB
+    is the sf100 window-task bottleneck the r12 verdict flagged.
+    ~35k rows/bucket/status at sf100 (NB=2048); balance needs only a
+    non-degenerate price spread, not quantiles."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -349,6 +354,10 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
+    max_n = max((r["n"] for r in stats), default=0)
+    NB = 32
+    while NB < 2048 and max_n / NB > 50_000:
+        NB *= 2
     if not stats:
         return o.select(
             "o_orderkey",
