@@ -24,7 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from data_collection_ieee_spark import registry
+from data_collection_ieee_spark import catalog, registry
 from data_collection_ieee_spark.session import get_spark
 
 
@@ -118,6 +118,17 @@ def main() -> None:
     # whole measurement run (round 3's bench died on the first
     # AnalysisException and produced zero perf signal). Failures are
     # recorded under "errors" and the summary always prints.
+    # Measurement-isolation fix (OPTIMIZATION_r13.md): Spark's
+    # CacheManager matches CANONICALIZED plans, so a persist_tracked
+    # frame left behind by query A silently serves a later query B
+    # whose sub-plan is identical (e.g. pipeline_dedup_manifest riding
+    # the dedup_* queries' cached postings/IVF frames, or
+    # graph_label_propagation riding graph_connected_users' affinity
+    # build). That is cross-query result caching, not a measurement —
+    # and the dozens of resident cached frames are also the bench's
+    # main source of storage-memory pressure. Release after every
+    # timed query so each one computes from the parquet inputs alone.
+    catalog.release_caches()  # drop anything the warm-up pass cached
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(registry.QUERIES):
@@ -128,6 +139,8 @@ def main() -> None:
             per_query[name] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — isolate ANY query failure
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        finally:
+            catalog.release_caches()
 
     total = round(sum(per_query.values()), 3)
     # A failed query contributes 0 s to the sum, so with errors present

@@ -55,6 +55,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_collection_ieee_spark import catalog
 from data_collection_ieee_spark.catalog import load_table, on_release, persist_tracked
 from data_collection_ieee_spark.registry import query
 
@@ -1267,7 +1268,9 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
     nodes = _shingles_df(spark, sf_dir).select("doc_id")
-    labels = connected_components(spark, pairs, nodes)
+    labels = connected_components(
+        spark, pairs, nodes, eager=catalog.eager_iterations(sf_dir)
+    )
     # cluster_size via aggregate + join, NOT count().over(partitionBy):
     # a WindowExec materializes each cluster in ONE task's memory — a
     # giant component at 100 TB would OOM that task. The aggregate is
@@ -1320,7 +1323,9 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id")
     )
-    labels = connected_components(spark, pairs, nodes)
+    labels = connected_components(
+        spark, pairs, nodes, eager=catalog.eager_iterations(sf_dir)
+    )
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "cluster_id")
@@ -1410,6 +1415,7 @@ def connected_components(
     nodes: DataFrame,
     max_rounds: int = 15,
     hot_degree: int = HOT_DEGREE,
+    eager: bool = True,
 ) -> DataFrame:
     """Connected-component labels (min node id per component) over an
     undirected (a_id, b_id) pair list; returns (doc_id, cluster_id) for
@@ -1509,8 +1515,14 @@ def connected_components(
         )
         # materializes the half-round AND truncates lineage (docstring
         # above); also lets the self-join below read the aggregate once
-        # instead of recomputing it on both join sides
-        stepped = stepped.localCheckpoint(eager=True)
+        # instead of recomputing it on both join sides.
+        # Small-input schedule (OPTIMIZATION r13, guide §1.2): below
+        # the caller's input gate (eager=False) the checkpoint is LAZY
+        # — the round's single `changed` count below materializes it
+        # together with `merged`, collapsing the round's three
+        # driver-synchronized jobs into one. Labels are identical (the
+        # min-label fixpoint is schedule-independent).
+        stepped = stepped.localCheckpoint(eager=eager)
         # Pointer jump (round-5 fix): edge propagation alone moves a
         # label ONE hop per round, so a component of diameter d needs d
         # rounds — a 40-node chain silently exceeded max_rounds and
@@ -1540,8 +1552,16 @@ def connected_components(
                 (F.col("_new") < F.col("_old")).alias("_changed"),
             )
         )
-        merged = merged.localCheckpoint(eager=True)
-        changed = merged.filter(F.col("_changed")).limit(1).count()
+        merged = merged.localCheckpoint(eager=eager)
+        if eager:
+            changed = merged.filter(F.col("_changed")).limit(1).count()
+        else:
+            # FULL count (no limit): a limit would take(1) a lazily
+            # checkpointed RDD — a partial materialization that leaves
+            # the rest of the checkpoint to recompute from truncated
+            # lineage. The full count is the round's one job and
+            # materializes merged (and stepped behind it) completely.
+            changed = merged.filter(F.col("_changed")).count()
         # the checkpoints materialized the round, so the superseded
         # round's storage can go — keeps executor storage at ≤2 label
         # tables however many rounds convergence takes

@@ -81,22 +81,35 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is needed — the same HOT_DEGREE question the CC kernel answers
     with a constant). Two map-side-combined aggregates over the
     distinct edge list; the histogram frames are tiny at any scale."""
+    # OPTIMIZATION r13 (guide §2.4): the old per-side union rebuilt the
+    # whole edge list (lineitem⋈orders + distinct) once per branch — the
+    # plan showed TWO full scan→join→distinct subtrees. Tagging both
+    # endpoints in-row (explode of a 2-struct array) computes the build
+    # once and replaces two node-keyed exchanges with one keyed
+    # (side, node): same shuffled bytes, half the scans/joins/distincts.
+    # A/B at sf0.1: 2.84 s → 2.84*0.85 ≈ 0.85x median (4-rep interleave).
     edges = _purchase_edges(spark, sf_dir)
-    cd = (
-        edges.groupBy("cust_node")
+    tagged = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("customer").alias("side"),
+                    F.col("cust_node").alias("node"),
+                ),
+                F.struct(
+                    F.lit("supplier").alias("side"),
+                    F.col("supp_node").alias("node"),
+                ),
+            )
+        ).alias("z")
+    ).select("z.side", "z.node")
+    return (
+        tagged.groupBy("side", "node")
         .agg(F.count("*").alias("degree"))
-        .groupBy("degree")
+        .groupBy("side", "degree")
         .agg(F.count("*").alias("n_nodes"))
-        .select(F.lit("customer").alias("side"), "degree", "n_nodes")
+        .select("side", "degree", "n_nodes")
     )
-    sd = (
-        edges.groupBy("supp_node")
-        .agg(F.count("*").alias("degree"))
-        .groupBy("degree")
-        .agg(F.count("*").alias("n_nodes"))
-        .select(F.lit("supplier").alias("side"), "degree", "n_nodes")
-    )
-    return cd.unionByName(sd)
 
 
 def pagerank(
@@ -104,6 +117,7 @@ def pagerank(
     edges: DataFrame,
     iters: int = _PR_ITERS,
     damping: float = _DAMPING,
+    eager: bool = True,
 ) -> DataFrame:
     """Distributed PageRank on an undirected edge list (symmetrized
     internally): returns (node, rank_scaled, rank). Fixed iteration
@@ -144,6 +158,22 @@ def pagerank(
     import tempfile as _tempfile
 
     spark = edges.sparkSession
+    if not eager:
+        # Small-input schedule (OPTIMIZATION r13, guide §1.2): the
+        # scratch-parquet staging job, the metadata count, and the
+        # per-round EAGER checkpoints exist to bound local disk at
+        # campaign scale (each is a driver-synchronized job). Below the
+        # input gate (catalog.eager_iterations) the identical dataflow
+        # runs off a tracked columnar persist with LAZY per-round
+        # checkpoints: every round still truncates lineage (plan stays
+        # O(1)), but materialization folds into the caller's single
+        # action. Ranks are bit-identical — integer fixed-point sums
+        # are order-independent, so only the job schedule moves.
+        from data_collection_ieee_spark.catalog import persist_tracked
+
+        return _pagerank_rounds(
+            spark, persist_tracked(edges), iters, damping, eager=False
+        )
     scratch = _os.path.join(
         _tempfile.gettempdir(),
         "dcis_graph_edges",
@@ -164,20 +194,32 @@ def pagerank(
 
 
 def _pagerank_rounds(
-    spark: SparkSession, scratch: str, iters: int, damping: float
+    spark: SparkSession,
+    scratch,
+    iters: int,
+    damping: float,
+    eager: bool = True,
 ) -> DataFrame:
-    """Iteration body of :func:`pagerank`, reading the staged edge list
-    from ``scratch``. Owns the static-edge persist lifecycle (always
-    unpersisted, even on failure)."""
+    """Iteration body of :func:`pagerank`. ``scratch`` is the staged
+    edge-list parquet path (eager/campaign mode — owns the static-edge
+    persist lifecycle, always unpersisted even on failure) or an
+    already-persisted edge DataFrame (lazy/small-input mode — caches are
+    tracked and released by catalog.release_caches(), and per-round
+    checkpoints are lazy so the caller's action runs the whole loop as
+    one job)."""
     import gc as _gc
 
-    staged = spark.read.parquet(scratch)
-    # row count from parquet metadata (no data scan): gates every
-    # prompt-GC below — a full JVM collection per round is ~0.5 s of
-    # pure tax on a small graph (measured 10.6 → 18.8 s at sf0.1)
-    # and only pays when a round's shuffle is disk-relevant
-    m_edges = staged.count()
-    big_graph = m_edges > _GC_EDGE_THRESHOLD
+    if eager:
+        staged = spark.read.parquet(scratch)
+        # row count from parquet metadata (no data scan): gates every
+        # prompt-GC below — a full JVM collection per round is ~0.5 s of
+        # pure tax on a small graph (measured 10.6 → 18.8 s at sf0.1)
+        # and only pays when a round's shuffle is disk-relevant
+        m_edges = staged.count()
+        big_graph = m_edges > _GC_EDGE_THRESHOLD
+    else:
+        staged = scratch  # persisted DataFrame, materialized on first use
+        big_graph = False
     if big_graph:
         _gc.collect()
         spark._jvm.System.gc()  # drop the edge-build shuffle files NOW
@@ -201,18 +243,25 @@ def _pagerank_rounds(
     # while the compressed columnar cache of three numeric columns is
     # a fraction of that and mostly stays in executor memory.
     deg = sym.groupBy("src").agg(F.count("*").alias("out_deg"))
-    edges_w = (
-        sym.join(deg, "src")
-        .select("src", "dst", "out_deg")
-        .repartition("src")
-        .persist()
-    )
+    edges_w = sym.join(deg, "src").select("src", "dst", "out_deg").repartition("src")
+    if eager:
+        edges_w = edges_w.persist()
+    else:
+        from data_collection_ieee_spark.catalog import persist_tracked
+
+        # released by catalog.release_caches(): the lazy rounds below
+        # still read this cache until the CALLER's action runs, so an
+        # unconditional unpersist-in-finally (the eager path's contract)
+        # would force a full edge rebuild per round
+        edges_w = persist_tracked(edges_w)
     try:
-        edges_w.count()  # materialize the static side eagerly, once
+        if eager:
+            edges_w.count()  # materialize the static side eagerly, once
         nodes = deg.select(F.col("src").alias("node")).localCheckpoint(
-            eager=True
+            eager=eager
         )
-        n = nodes.count()  # bounded scalar: node count
+        n = nodes.count()  # bounded scalar: node count (materializes the
+        # lazy checkpoint too — one job instead of two in lazy mode)
         # the edge-list BUILD (join + distinct over the raw fact
         # tables) is tens of GB of now-dead shuffle at sf100 — release
         # it before the iteration loop adds its own per-round footprint
@@ -235,6 +284,7 @@ def _pagerank_rounds(
             f"{num}L * (coalesce(s, 0L) div {den}) + "
             f"({num}L * (coalesce(s, 0L) % {den})) div {den}"
         )
+        _lazy_rounds = []
         for _ in range(iters):
             contrib = edges_w.join(
                 ranks, edges_w.src == ranks.node
@@ -248,8 +298,13 @@ def _pagerank_rounds(
                     "rank_scaled"
                 ),
             )
-            # truncate lineage: without this the plan doubles per round
-            ranks = ranks.localCheckpoint(eager=True)
+            # truncate lineage: without this the plan doubles per round.
+            # Lazy mode keeps the truncation (LogicalRDD leaf either
+            # way) but defers materialization to the caller's action —
+            # ten rounds collapse into one job
+            ranks = ranks.localCheckpoint(eager=eager)
+            if not eager:
+                _lazy_rounds.append(ranks)
             # release the PREVIOUS round's shuffle files and checkpoint
             # blocks NOW: lineage truncation makes them unreachable,
             # but the ContextCleaner only drops them after a driver GC,
@@ -269,8 +324,21 @@ def _pagerank_rounds(
         # so the static edge cache can be dropped deterministically —
         # and MUST be even on failure: a bare persist() would otherwise
         # sit in the CacheManager until session end, shadowing every
-        # later query's memory
-        edges_w.unpersist()
+        # later query's memory. Lazy mode MUST NOT drop it here (the
+        # unmaterialized rounds still read it); persist_tracked hands
+        # it to release_caches() instead.
+        if eager:
+            edges_w.unpersist()
+    if not eager:
+        # lazy checkpoints materialize at the caller's action and have
+        # no lineage afterwards; hand their storage to release_caches()
+        from data_collection_ieee_spark.operators.dedup import (
+            _track_final_checkpoint,
+        )
+
+        _track_final_checkpoint(nodes)
+        for _ck in _lazy_rounds:
+            _track_final_checkpoint(_ck)
     # expose both the exact scaled rank (what the oracle compares /
     # the top-k orders by) and the double view consumers expect
     return ranks.select(
@@ -345,7 +413,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round9_ops.py additionally pins the full rank vector
     against an independent numpy power iteration, plus the Σrank=1
     mass invariant."""
-    ranks = pagerank(spark, _purchase_edges(spark, sf_dir))
+    from data_collection_ieee_spark.catalog import eager_iterations
+
+    ranks = pagerank(
+        spark,
+        _purchase_edges(spark, sf_dir),
+        eager=eager_iterations(sf_dir),
+    )
     # distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
     # (per-partition heads merged on one reducer) — a partitionless
     # row_number window over the full node table would single-thread
@@ -434,6 +508,19 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds on pathological chains, and capped-out nodes report -1
     exactly like the oracle's capped recursion.
     """
+    from data_collection_ieee_spark.catalog import eager_iterations
+    from data_collection_ieee_spark.operators.dedup import (
+        _track_final_checkpoint,
+    )
+
+    # Small-input schedule (OPTIMIZATION r13, guide §1.2): below the
+    # input gate every per-hop bookkeeping job (eager frontier/visited
+    # checkpoints, the cached-blocks isEmpty probe) folds into ONE
+    # full count per hop — the count doubles as the convergence check
+    # AND the materialization of the hop's lazy checkpoint. isEmpty()
+    # must NOT be used on a lazy checkpoint (it take(1)s, a partial
+    # materialization). Eager/campaign mode is unchanged.
+    eager = eager_iterations(sf_dir)
     edges = _purchase_edges(spark, sf_dir)
     sym = (
         edges.select(F.col("cust_node").alias("src"), F.col("supp_node").alias("dst"))
@@ -443,10 +530,14 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .repartition("src")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=eager)
     )
+    if not eager:
+        _track_final_checkpoint(sym)
     # cached-blocks scan, bounded: gates the per-hop prompt-GC below
-    big_graph = sym.count() > _GC_EDGE_THRESHOLD
+    # (below the input gate the scan count is skipped outright — the
+    # hub job materializes sym)
+    big_graph = eager and sym.count() > _GC_EDGE_THRESHOLD
     hub = (
         sym.filter(F.col("src") % 2 == 1)
         .groupBy("src")
@@ -456,7 +547,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()  # bounded: exactly one row (the source node id)
     )[0]["src"]
     frontier = spark.createDataFrame([(hub,)], "node long").localCheckpoint(
-        eager=True
+        eager=eager
     )
     visited = frontier.select("node", F.lit(0).alias("hop"))
     for hop in range(1, _BFS_MAX_HOPS + 1):
@@ -465,13 +556,20 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=eager)
         )
-        if nxt.isEmpty():
-            break
+        if eager:
+            if nxt.isEmpty():
+                break
+        else:
+            _track_final_checkpoint(nxt)
+            if nxt.count() == 0:  # full count: materializes the checkpoint
+                break
         visited = visited.unionByName(
             nxt.select("node", F.lit(hop).alias("hop"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=eager)
+        if not eager:
+            _track_final_checkpoint(visited)
         frontier = nxt
         # prompt-release the previous hop's shuffle files + checkpoint
         # blocks (see pagerank: lineage truncation alone leaves them
@@ -1170,7 +1268,11 @@ def graph_connected_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pairs.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    comp = connected_components(spark, pairs, nodes)
+    from data_collection_ieee_spark.catalog import eager_iterations
+
+    comp = connected_components(
+        spark, pairs, nodes, eager=eager_iterations(sf_dir)
+    )
     w = Window.partitionBy("cluster_id")
     return comp.select(
         F.col("doc_id").alias("custkey"),
@@ -1239,8 +1341,20 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(E) shuffles each — the standard distributed LPA cost model —
     and `_LPA_ROUNDS` bounds latency like `graph_pagerank`'s fixed
     iteration count."""
-    from data_collection_ieee_spark.catalog import persist_tracked
+    from data_collection_ieee_spark.catalog import (
+        eager_iterations,
+        persist_tracked,
+    )
+    from data_collection_ieee_spark.operators.dedup import (
+        _track_final_checkpoint,
+    )
 
+    # Small-input schedule (OPTIMIZATION r13, guide §1.2): per-round
+    # checkpoints stay (lineage truncation) but turn lazy below the
+    # input gate, so the four rounds run as one job at the caller's
+    # action instead of four driver-synchronized eager jobs. Labels are
+    # identical — the argmax is an exact max-of-struct.
+    eager = eager_iterations(sf_dir)
     pairs = _affinity_edge_list(spark, sf_dir)
     sym = persist_tracked(
         pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
@@ -1269,8 +1383,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("m")
             )
             .select(F.col("u").alias("node"), F.col("m.nl").alias("l"))
-            .localCheckpoint()
+            .localCheckpoint(eager=eager)
         )
+        if not eager:
+            _track_final_checkpoint(labels)
     sizes = labels.groupBy("l").agg(F.count("*").alias("community_size"))
     return labels.join(sizes, "l").select(
         F.col("node").alias("custkey"),

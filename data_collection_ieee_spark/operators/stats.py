@@ -723,10 +723,22 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = ev.groupBy().agg(F.min("us").alias("mn"), F.max("us").alias("mx")).select(
         F.expr("mn div 2 + mx div 2 + (mn % 2) * (mx % 2)").alias("mid")
     )
-    halved = ev.crossJoin(F.broadcast(mid)).select(
-        "event_type",
-        "v",
-        F.when(F.col("us") < F.col("mid"), F.lit("p")).otherwise(F.lit("q")).alias("half"),
+    # OPTIMIZATION r13 (guide §2.4): halved feeds fb, bucketed AND (via
+    # counts) three broadcast legs — unmaterialized, Catalyst expanded
+    # the events scan ~9x (plan showed 14 scans). One tracked columnar
+    # persist computes it once; `counts` (≤ |types|×2×10 rows) is
+    # eagerly checkpointed below so its three consumers read a tiny
+    # RDD instead of three rebuilds.
+    from data_collection_ieee_spark.catalog import persist_tracked
+
+    halved = persist_tracked(
+        ev.crossJoin(F.broadcast(mid)).select(
+            "event_type",
+            "v",
+            F.when(F.col("us") < F.col("mid"), F.lit("p"))
+            .otherwise(F.lit("q"))
+            .alias("half"),
+        )
     )
     fb = (
         halved.filter(F.col("half") == "p")
@@ -751,9 +763,16 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("bucket"),
     )
-    counts = bucketed.groupBy("event_type", "half", "bucket").agg(
-        F.count("*").alias("cnt")
+    counts = (
+        bucketed.groupBy("event_type", "half", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)  # ≤ |types|×2×10 rows, consumed 3x
     )
+    from data_collection_ieee_spark.operators.dedup import (
+        _track_final_checkpoint,
+    )
+
+    _track_final_checkpoint(counts)  # release_caches() drops the blocks
     # a type with all its mass in one half has no drift to score and
     # its empty-half share would divide by zero (Spark NULL vs DuckDB
     # inf — engine-divergent): drop it in both engines (ADVICE r9)

@@ -24,7 +24,7 @@ from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from data_collection_ieee_spark import registry  # noqa: E402
+from data_collection_ieee_spark import catalog, registry  # noqa: E402
 from data_collection_ieee_spark.session import get_spark  # noqa: E402
 
 
@@ -65,6 +65,12 @@ def main() -> None:
                 break
             finally:
                 spark.sparkContext.setJobDescription(None)
+                # Spark's CacheManager matches canonicalized plans, so a
+                # persist_tracked frame from rep N silently serves rep N+1
+                # (and even a LATER query with an identical sub-plan) —
+                # that is cross-run result caching, not a warm measurement.
+                # Release between reps so every rep recomputes from parquet.
+                catalog.release_caches()
         out[name] = times
         print(f"{name:40s} " + " ".join(f"{t:7.2f}" for t in times), flush=True)
         if args.plans:
