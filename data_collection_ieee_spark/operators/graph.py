@@ -689,13 +689,18 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct co-purchase part pairs (x < y): parts adjacent when
     some order contains both. Built with the in-row upper-triangle
     basket explode — Σ C(k,2) over basket sizes, never |parts|²."""
-    baskets = (
+    # OPTIMIZATION r13 (guide §2.4): collect_set dedups (ok, pk) inside
+    # the basket aggregate itself, so the separate distinct's exchange
+    # (keyed (ok, pk)) disappears — one ok-keyed shuffle builds the
+    # deduped baskets directly. Set-equality with the old
+    # distinct→collect_list form verified; A/B median 2.83 s vs 3.23 s
+    # at sf0.1. Safe at any scale: basket width is bounded by order
+    # width (a data-model bound), so the per-group set buffer is small.
+    items = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    items = baskets.groupBy("ok").agg(
-        F.array_sort(F.collect_list("pk")).alias("its")
+        .groupBy("ok")
+        .agg(F.array_sort(F.collect_set("pk")).alias("its"))
     )
     idx = F.sequence(F.lit(1), F.size("its") - 1)
     pair_col = F.explode(
@@ -784,9 +789,19 @@ def _triangle_core(
         # from Catalyst (planned as a nested-loop join; plan_audit
         # CARTESIAN flag, round 10)
         wedges = o1.join(o2, "src").filter(F.col("d1") < F.col("d2"))
+        # OPTIMIZATION r13 (guide §3.1): the closing join probes the
+        # Θ(E^1.5) wedge stream against the |E|-row edge set — a
+        # sort-merge join SORTS the whole wedge stream (41M rows at
+        # sf0.1) just to discard non-matches. SHUFFLE_HASH on the edge
+        # side builds a per-partition hash table from the SMALL side
+        # and streams the wedges through unsorted: measured 11.75 s →
+        # 2.79 s (median, interleaved A/B) for the closing phase, same
+        # count. At scale the build side per partition is |E|/shuffle
+        # partitions (uniform (x,y) hash keys; AQE skew-split remains
+        # available), exactly the guide's shuffled-hash criterion.
         return (
             wedges.join(
-                edges,
+                edges.hint("shuffle_hash"),
                 (edges.x == F.col("d1")) & (edges.y == F.col("d2")),
                 "left_semi",
             )
