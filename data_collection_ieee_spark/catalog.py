@@ -88,15 +88,22 @@ _INPUT_BYTES_CACHE: dict = {}
 
 
 def input_bytes(sf_dir: str) -> int:
-    """Total bytes of the scale-factor directory's parquet inputs —
-    pure file-metadata (no Spark job). Memoized per directory; file
-    sizes are static for a given fixture."""
+    """Total bytes of the scale-factor directory's inputs — pure
+    file-metadata (no Spark job). Memoized per directory; file sizes
+    are static for a given fixture. Walks RECURSIVELY (ADVICE r13):
+    a directory-style parquet dataset (standard multi-file Spark
+    output named foo.parquet/) has its bytes in nested part files —
+    a top-level glob would read the ~4 KB dir inode and silently
+    select the lazy schedule at campaign scale."""
     if sf_dir not in _INPUT_BYTES_CACHE:
-        import glob
-
-        _INPUT_BYTES_CACHE[sf_dir] = sum(
-            os.path.getsize(p) for p in glob.glob(f"{sf_dir}/*.parquet")
-        )
+        total = 0
+        for root, _dirs, files in os.walk(sf_dir):
+            for fn in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass  # racing file rotation — metadata only, best-effort
+        _INPUT_BYTES_CACHE[sf_dir] = total
     return _INPUT_BYTES_CACHE[sf_dir]
 
 
@@ -104,12 +111,19 @@ def eager_iterations(sf_dir: str) -> bool:
     """True when the iterative kernels should keep the eager per-round
     checkpoint + prompt-GC campaign discipline (large inputs, where a
     round's shuffle is local-disk-relevant); False selects the lazy
-    schedule (same dataflow, fewer job barriers)."""
+    schedule (same dataflow, fewer job barriers).
+
+    Fails CLOSED (ADVICE r13): the gate is a safety valve against the
+    sf100 local-disk overrun, so an unreadable/unknown layout
+    (input_bytes == 0) selects the EAGER schedule, not the lazy one."""
     try:
         threshold = int(os.environ.get(_EAGER_ITER_ENV, _EAGER_ITER_DEFAULT))
     except ValueError:
         threshold = _EAGER_ITER_DEFAULT
-    return input_bytes(sf_dir) >= threshold
+    b = input_bytes(sf_dir)
+    if b <= 0:
+        return True
+    return b >= threshold
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -179,3 +193,90 @@ def release_caches() -> int:
     for fn in _RELEASE_HOOKS:
         fn()
     return n
+
+
+# ---------------------------------------------------------------------------
+# localCheckpoint tracking (shared by the iterative kernels)
+#
+# The iterative kernels (connected components, PageRank, BFS, LPA) and a
+# few bounded-reuse frames (stats_psi_drift's counts) truncate lineage
+# with localCheckpoint. Checkpoint blocks are invisible to the
+# CacheManager, so DataFrame.unpersist() never frees them — the owner is
+# the RDD inside the plan's LogicalRDD leaf, reached through the query
+# execution handle. Frames registered here are freed by
+# release_caches(); CONTRACT: a released checkpoint has NO lineage to
+# recompute from, so any still-held result frame derived from one is
+# unusable afterwards — callers must materialize (collect/write) results
+# they need BEFORE releasing. (Moved here from operators.dedup in r14 —
+# ADVICE r13 flagged the operators→operators layering on an
+# underscore-private.)
+
+import logging  # noqa: E402
+
+_CKPT_TRACKED: List = []
+
+# Diagnostics for the py4j internal accessor below: if a Spark upgrade
+# shifts it, every eager free silently degrades to a no-op and executor
+# storage grows to O(rounds) label tables. The counter turns that into
+# a CI-visible signal (tests/test_cache_release.py asserts both that a
+# freed frame's blocks leave getPersistentRDDs and that this stays 0).
+_CKPT_FREE_FAILURES = 0
+
+_log = logging.getLogger(__name__)
+
+
+def ckpt_free_failures() -> int:
+    """Current count of failed checkpoint track/free attempts (CI canary)."""
+    return _CKPT_FREE_FAILURES
+
+
+def track_final_checkpoint(df: DataFrame) -> None:
+    """Register a final-round checkpoint's RDD handle for release."""
+    global _CKPT_FREE_FAILURES
+    try:
+        _CKPT_TRACKED.append(df._jdf.queryExecution().logical().rdd())
+    except Exception as exc:
+        _CKPT_FREE_FAILURES += 1
+        _log.debug("checkpoint track failed (%s): %s", type(exc).__name__, exc)
+
+
+@on_release
+def _release_tracked_checkpoints() -> None:
+    global _CKPT_FREE_FAILURES
+    for _jrdd in _CKPT_TRACKED:
+        try:
+            # Materialization guard (ADVICE r13): a LAZY localCheckpoint
+            # registered here but never computed (explain-only / plan
+            # capture) has no checkpoint blocks yet; unpersisting it
+            # would clear its storage level so the DEFERRED
+            # materialization hard-fails (missing checkpoint blocks)
+            # instead of recomputing. Skip those — the ContextCleaner
+            # reclaims them when the frame is GC'd; materialized ones
+            # (isCheckpointed) free their blocks now.
+            if _jrdd.isCheckpointed():
+                _jrdd.unpersist(False)
+        except Exception as exc:
+            _CKPT_FREE_FAILURES += 1
+            _log.debug(
+                "checkpoint release failed (%s): %s", type(exc).__name__, exc
+            )
+    _CKPT_TRACKED.clear()
+
+
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort eager release of a localCheckpoint's storage.
+    DataFrame.unpersist() only consults the CacheManager, which never
+    sees checkpoint blocks — the owner is the RDD inside the plan's
+    LogicalRDD leaf, reached here through the query execution handle.
+    The frame is unusable afterwards (no lineage to recompute), so only
+    superseded rounds go through this; ContextCleaner remains the
+    backstop if the internal accessor ever shifts — and the failure
+    counter + debug log make that shift observable instead of silent."""
+    global _CKPT_FREE_FAILURES
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception as exc:
+        _CKPT_FREE_FAILURES += 1
+        _log.debug(
+            "localCheckpoint eager free failed (%s): %s", type(exc).__name__, exc
+        )

@@ -46,8 +46,6 @@ Scale notes (the whole point of the designs):
 
 from __future__ import annotations
 
-import logging
-import weakref
 from typing import Iterator
 
 import pandas as pd
@@ -1343,70 +1341,17 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 HOT_DEGREE = 1024  # in-degree above which a node's label is broadcast
 
 
-# py4j handles (NOT DataFrames) of the final-round checkpoint RDDs
-# behind returned label tables. Holding only the tiny RDD handle keeps
-# Python-side result frames collectable; auto-freeing on result-frame
-# GC (a weakref.finalize) would be WRONG here — frames DERIVED from the
-# result (dedup_cluster_assign's size join, any caller's downstream
-# plan) still read these blocks after the intermediate Python object is
-# garbage, and a lineage-less localCheckpoint cannot recompute them.
-#
-# Release contract (sharper than plain persist/unpersist — ADVICE r5):
-# a connected_components / dedup_cluster_assign result reads
-# localCheckpoint blocks that have NO lineage, so after
-# catalog.release_caches() any still-held result frame (or frame
-# derived from one) is unusable — not merely slow to recompute, but
-# unrecoverable. Callers must materialize (collect/write) results they
-# need BEFORE releasing. Documented at both call sites.
-_CKPT_TRACKED: list = []
-
-# Diagnostics for the py4j internal accessor below: if a Spark upgrade
-# shifts it, every eager free silently degrades to a no-op and executor
-# storage grows to O(rounds) label tables. The counter turns that into
-# a CI-visible signal (tests/test_cache_release.py asserts both that a
-# freed frame's blocks leave getPersistentRDDs and that this stays 0).
-_CKPT_FREE_FAILURES = 0
-
-_log = logging.getLogger(__name__)
-
-
-def _track_final_checkpoint(df: DataFrame) -> None:
-    """Register a final-round checkpoint's RDD handle for release."""
-    global _CKPT_FREE_FAILURES
-    try:
-        _CKPT_TRACKED.append(df._jdf.queryExecution().logical().rdd())
-    except Exception as exc:
-        _CKPT_FREE_FAILURES += 1
-        _log.debug("checkpoint track failed (%s): %s", type(exc).__name__, exc)
-
-
-@on_release
-def _release_tracked_checkpoints() -> None:
-    global _CKPT_FREE_FAILURES
-    for _jrdd in _CKPT_TRACKED:
-        try:
-            _jrdd.unpersist(False)
-        except Exception as exc:
-            _CKPT_FREE_FAILURES += 1
-            _log.debug("checkpoint release failed (%s): %s", type(exc).__name__, exc)
-    _CKPT_TRACKED.clear()
-
-
-def _free_local_checkpoint(df: DataFrame) -> None:
-    """Best-effort eager release of a localCheckpoint's storage.
-    DataFrame.unpersist() only consults the CacheManager, which never
-    sees checkpoint blocks — the owner is the RDD inside the plan's
-    LogicalRDD leaf, reached here through the query execution handle.
-    The frame is unusable afterwards (no lineage to recompute), so only
-    superseded rounds go through this; ContextCleaner remains the
-    backstop if the internal accessor ever shifts — and the failure
-    counter + debug log make that shift observable instead of silent."""
-    global _CKPT_FREE_FAILURES
-    try:
-        df._jdf.queryExecution().logical().rdd().unpersist(False)
-    except Exception as exc:
-        _CKPT_FREE_FAILURES += 1
-        _log.debug("localCheckpoint eager free failed (%s): %s", type(exc).__name__, exc)
+# Checkpoint tracking lives in catalog (shared infrastructure — moved
+# in r14 per ADVICE r13; graph.py/stats.py previously imported these
+# underscore-privates from here, an operators→operators layering wart).
+# The release contract is documented at catalog._CKPT_TRACKED: a
+# released checkpoint has NO lineage, so any still-held result frame
+# derived from one is unusable afterwards — callers must materialize
+# (collect/write) results they need BEFORE releasing.
+from data_collection_ieee_spark.catalog import (  # noqa: E402,F401
+    free_local_checkpoint as _free_local_checkpoint,
+    track_final_checkpoint as _track_final_checkpoint,
+)
 
 
 def connected_components(

@@ -332,8 +332,8 @@ def _pagerank_rounds(
     if not eager:
         # lazy checkpoints materialize at the caller's action and have
         # no lineage afterwards; hand their storage to release_caches()
-        from data_collection_ieee_spark.operators.dedup import (
-            _track_final_checkpoint,
+        from data_collection_ieee_spark.catalog import (
+            track_final_checkpoint as _track_final_checkpoint,
         )
 
         _track_final_checkpoint(nodes)
@@ -509,8 +509,8 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly like the oracle's capped recursion.
     """
     from data_collection_ieee_spark.catalog import eager_iterations
-    from data_collection_ieee_spark.operators.dedup import (
-        _track_final_checkpoint,
+    from data_collection_ieee_spark.catalog import (
+        track_final_checkpoint as _track_final_checkpoint,
     )
 
     # Small-input schedule (OPTIMIZATION r13, guide §1.2): below the
@@ -549,6 +549,10 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = spark.createDataFrame([(hub,)], "node long").localCheckpoint(
         eager=eager
     )
+    if not eager:
+        # track the 1-row seed like nxt/visited (ADVICE r13: untracked,
+        # its blocks leaked until session end in long-lived sessions)
+        _track_final_checkpoint(frontier)
     visited = frontier.select("node", F.lit(0).alias("hop"))
     for hop in range(1, _BFS_MAX_HOPS + 1):
         nxt = (
@@ -1360,8 +1364,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager_iterations,
         persist_tracked,
     )
-    from data_collection_ieee_spark.operators.dedup import (
-        _track_final_checkpoint,
+    from data_collection_ieee_spark.catalog import (
+        track_final_checkpoint as _track_final_checkpoint,
     )
 
     # Small-input schedule (OPTIMIZATION r13, guide §1.2): per-round

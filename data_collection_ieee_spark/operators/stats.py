@@ -763,13 +763,18 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("bucket"),
     )
+    # ≤ |types|×2×10 rows, consumed 3x. LAZY (ADVICE r13): an eager
+    # checkpoint here executed Spark jobs at DataFrame-CONSTRUCTION
+    # time (merely building the plan — explain, plan capture — launched
+    # work); lazy materializes once at the caller's action and the
+    # blocks are shared by all three consumers exactly the same way.
     counts = (
         bucketed.groupBy("event_type", "half", "bucket")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=True)  # ≤ |types|×2×10 rows, consumed 3x
+        .localCheckpoint(eager=False)
     )
-    from data_collection_ieee_spark.operators.dedup import (
-        _track_final_checkpoint,
+    from data_collection_ieee_spark.catalog import (
+        track_final_checkpoint as _track_final_checkpoint,
     )
 
     _track_final_checkpoint(counts)  # release_caches() drops the blocks

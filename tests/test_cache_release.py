@@ -89,10 +89,24 @@ def test_eager_checkpoint_free_actually_drops_blocks(spark):
     stays zero — so an accessor break fails CI instead of masking."""
     catalog.release_caches()
     base = _n_persistent(spark)
-    fails_before = dedup._CKPT_FREE_FAILURES
+    fails_before = catalog.ckpt_free_failures()
 
     df = spark.range(100).localCheckpoint(eager=True)
     assert _n_persistent(spark) == base + 1
-    dedup._free_local_checkpoint(df)
+    catalog.free_local_checkpoint(df)
     assert _n_persistent(spark) == base
-    assert dedup._CKPT_FREE_FAILURES == fails_before
+    assert catalog.ckpt_free_failures() == fails_before
+
+
+def test_release_skips_unmaterialized_lazy_checkpoint(spark):
+    """A LAZY localCheckpoint tracked but never computed (explain-only
+    path) must survive release_caches(): unpersisting it would strand
+    the deferred materialization (no lineage, no blocks). The frame
+    must still be computable AFTER a release (ADVICE r13)."""
+    catalog.release_caches()
+    df = spark.range(50).localCheckpoint(eager=False)
+    catalog.track_final_checkpoint(df)
+    catalog.release_caches()  # must SKIP the unmaterialized checkpoint
+    assert df.count() == 50  # still computable — storage level intact
+    # now materialized but no longer tracked; free eagerly to clean up
+    catalog.free_local_checkpoint(df)

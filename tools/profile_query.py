@@ -87,9 +87,20 @@ def main() -> None:
                 print(f"{name}: explain failed: {exc}", flush=True)
     if args.json:
         with open(args.json, "w") as f:
-            json.dump(out, f, indent=1, sort_keys=True)
-    # summary: warmest rep per query
-    best = {n: min(t for t in ts if t == t) for n, ts in out.items() if ts}
+            # failed reps serialize as null, not bare NaN (invalid JSON)
+            json.dump(
+                {n: [t if t == t else None for t in ts] for n, ts in out.items()},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+    # summary: warmest rep per query; all-NaN (errored-on-first-rep)
+    # entries are skipped so min() never sees an empty sequence
+    best = {
+        n: min(t for t in ts if t == t)
+        for n, ts in out.items()
+        if any(t == t for t in ts)
+    }
     print("TOTAL(best-rep): ", round(sum(best.values()), 2))
 
 
