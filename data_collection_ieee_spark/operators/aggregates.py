@@ -475,53 +475,65 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     NB = 1024
-    # stats BEFORE the NULL filter: count(v)/min(v)/max(v) skip NULLs
+    # Decision metadata in ONE job (OPTIMIZATION r14, guide §1.2): the
+    # stats and bucket-counts collects previously ran as two SERIALIZED
+    # driver barriers ahead of the final job — three full passes in
+    # strict sequence. The per-group bounds now reach the bucketing as
+    # a broadcast join of the persisted 6-row stats frame (instead of
+    # driver-literal maps), the counts frame joins back onto it, and
+    # ONE collect returns stats and counts together: the stats and
+    # counts scans overlap inside a single job. Stats are taken BEFORE
+    # the NULL filter: count(v)/min(v)/max(v) skip NULLs
     # (percentile_cont semantics) but an all-NULL group still yields a
-    # row (n = 0), so the flag domain for the final left-join is known
-    # from this same bounded collect — no extra scan
-    stats = (
-        long.groupBy("l_returnflag", "metric")
-        .agg(
+    # row (n = 0, no bucket rows), so the flag domain for the final
+    # left-join is known from this same bounded collect — no extra scan.
+    from data_collection_ieee_spark.catalog import persist_tracked
+
+    stats_df = persist_tracked(
+        long.groupBy("l_returnflag", "metric").agg(
             F.min("v").alias("lo"),
             F.max("v").alias("hi"),
             F.count("v").alias("n"),
         )
-        .collect()
     )
-    long = long.filter(F.col("v").isNotNull())
-    if not stats:
+    long_nn = long.filter(F.col("v").isNotNull())
+
+    def _bucketed() -> DataFrame:
+        # width_bucket needs lo < hi; a constant-valued group
+        # degenerates to one bucket (bucket 0), which the offsets
+        # handle like any other
+        bucket = F.when(
+            F.col("lo") < F.col("hi"),
+            F.width_bucket(F.col("v"), F.col("lo"), F.col("hi"), F.lit(NB)),
+        ).otherwise(F.lit(0))
+        return (
+            long_nn.join(F.broadcast(stats_df), ["l_returnflag", "metric"])
+            .select(
+                "l_returnflag",
+                "metric",
+                "v",
+                "n",
+                bucket.cast("int").alias("_bkt"),
+            )
+        )
+
+    cnts_df = (
+        _bucketed()
+        .groupBy("l_returnflag", "metric", "_bkt")
+        .agg(F.count("*").alias("cnt"))
+    )
+    combined = stats_df.join(
+        F.broadcast(cnts_df), ["l_returnflag", "metric"], "left"
+    ).collect()
+    if not combined:
         return spark.createDataFrame(
             [],
             "l_returnflag string, med_qty double, p90_qty double, med_price double",
         )
-    gkey = F.concat_ws("|", "l_returnflag", "metric")
-    lomap = F.create_map(
-        *[
-            F.lit(x)
-            for r in stats
-            for x in (f"{r['l_returnflag']}|{r['metric']}", r["lo"])
-        ]
+    stats = list(
+        {(r["l_returnflag"], r["metric"]): r for r in combined}.values()
     )
-    himap = F.create_map(
-        *[
-            F.lit(x)
-            for r in stats
-            for x in (f"{r['l_returnflag']}|{r['metric']}", r["hi"])
-        ]
-    )
-    # width_bucket needs lo < hi; a constant-valued group degenerates
-    # to one bucket (bucket 0), which the offsets handle like any other
-    bucket = F.when(
-        lomap[gkey] < himap[gkey],
-        F.width_bucket(F.col("v"), lomap[gkey], himap[gkey], F.lit(NB)),
-    ).otherwise(F.lit(0))
-    bucketed = long.select("*", bucket.cast("int").alias("_bkt"))
-
-    cnts = (
-        bucketed.groupBy("l_returnflag", "metric", "_bkt")
-        .agg(F.count("*").alias("cnt"))
-        .collect()
-    )
+    cnts = [r for r in combined if r["_bkt"] is not None]
     offsets: dict[tuple, int] = {}
     sizes: dict[tuple, int] = {}
     acc: dict[tuple, int] = {}
@@ -558,23 +570,23 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("metric") == F.lit(metric))
             & (F.col("_bkt") == F.lit(bkt))
         )
+    # offsets literal map for the KEPT buckets only (OPTIMIZATION r14):
+    # the old map carried every populated bucket (~6x1026 literals — a
+    # multi-thousand-node expression tree paid at plan build/optimize/
+    # codegen time) although rn + offset is only ever evaluated on rows
+    # that survived keep_pred. n rides the broadcast stats join now.
     omap = F.create_map(
         *[
             F.lit(x)
             for (flag, metric, bkt), off in offsets.items()
+            if (flag, metric, bkt) in keep
             for x in (f"{flag}|{metric}|{bkt}", off)
-        ]
-    )
-    nmap = F.create_map(
-        *[
-            F.lit(x)
-            for r in stats
-            for x in (f"{r['l_returnflag']}|{r['metric']}", r["n"])
         ]
     )
     wb = Window.partitionBy("l_returnflag", "metric", "_bkt").orderBy("v")
     ranked = (
-        bucketed.filter(keep_pred)
+        _bucketed()
+        .filter(keep_pred)
         .repartition("l_returnflag", "metric", "_bkt")
         .select(
             "l_returnflag",
@@ -584,7 +596,7 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.row_number().over(wb)
                 + omap[F.concat_ws("|", "l_returnflag", "metric", "_bkt")]
             ).alias("rn"),
-            nmap[F.concat_ws("|", "l_returnflag", "metric")].alias("n"),
+            "n",
         )
     )
     targets = spark.createDataFrame(

@@ -1404,6 +1404,18 @@ def connected_components(
     truncation would ride reliable checkpoint() against the checkpoint
     dir (executor loss can't recompute a localCheckpoint); the loop
     structure is unchanged either way."""
+    # Persist the caller's pair pipeline (OPTIMIZATION r14, guide §2.4):
+    # `pairs` is typically an expensive build (the affinity explode, the
+    # Jaccard postings join, the IVF cosine blocks) and it is read by
+    # BOTH symmetrization branches below AND by the caller's node frame
+    # (built from this same object, so the CacheManager serves it from
+    # this cache). Unpersisted, the max-degree probe, the round-0 label
+    # build and the edge cache fill each re-ran the full upstream
+    # pipeline — measured 3x the affinity build inside one
+    # graph_connected_users run at sf0.1. Filled once by the probe job
+    # below; released with `edges` at kernel exit (the returned labels
+    # are checkpoint-backed and never re-read it).
+    pairs = pairs.persist()
     edges = (
         pairs.union(pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")))
         .withColumnsRenamed({"a_id": "u", "b_id": "v"})
@@ -1521,6 +1533,7 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    pairs.unpersist()
     if has_hot:
         edges_hot.unpersist()
         edges_cold.unpersist()
