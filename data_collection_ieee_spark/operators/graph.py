@@ -649,35 +649,95 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) (exact, order-independent — hub degrees square into
     ~1e10 per term, far past safe float ULPs at 1e8+ edges).
     """
+    from data_collection_ieee_spark.catalog import (
+        eager_iterations,
+        persist_tracked,
+    )
+
     e0 = _purchase_edges(spark, sf_dir)
     edges = e0.select(
         F.col("cust_node").alias("src"), F.col("supp_node").alias("dst")
     ).unionByName(
         e0.select(F.col("supp_node").alias("src"), F.col("cust_node").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    da = deg.select(F.col("src").alias("s"), F.col("d").alias("x"))
-    db = deg.select(F.col("src").alias("t"), F.col("d").alias("y"))
-    xy = (
-        edges.join(da, edges.src == da.s)
-        .join(db, edges.dst == db.t)
-        .select("x", "y")
-    )
     big = "decimal(38,0)"
-    m = xy.groupBy().agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.col("x").cast(big)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(big)).cast("double").alias("sy"),
-        F.sum((F.col("x").cast("decimal(19,0)") * F.col("y")).cast(big))
-        .cast("double")
-        .alias("sxy"),
-        F.sum((F.col("x").cast("decimal(19,0)") * F.col("x")).cast(big))
-        .cast("double")
-        .alias("sxx"),
-        F.sum((F.col("y").cast("decimal(19,0)") * F.col("y")).cast(big))
-        .cast("double")
-        .alias("syy"),
-    )
+    if eager_iterations(sf_dir):
+        # Campaign-scale moments form (OPTIMIZATION r14, VERDICT r13 #6;
+        # guide §2.4): the xy formulation below expands the edge build
+        # into THREE duplicate subtrees (edges + two degree joins — the
+        # r13 before-plan showed 12 scans). On the symmetrized graph the
+        # per-edge endpoint-degree sums collapse onto the |V|-row degree
+        # table: n = Σd, sx = sy = Σd², sxx = syy = Σd³ (every directed
+        # edge contributes its src degree to x exactly once, and the
+        # graph's symmetry makes the y-marginals identical); only sxy
+        # needs edge context — ONE dst-side degree join, per-src sums,
+        # then a |V|-row multiply against the same degree table. All
+        # sums are exact integers in DECIMAL(38,0), associative and
+        # commutative, so the six scalars — and therefore the one
+        # output double — are bit-identical to the xy form (oracle- and
+        # equality-verified at sf0.01). Below the gate the xy form
+        # stays: at bench scale its duplicate subtrees run CONCURRENTLY
+        # inside one job on idle cores, while this form serializes the
+        # edge/degree materialization ahead of the main job (measured
+        # 1.26x worse at sf0.1 in r13) — strictly less WORK is not
+        # strictly less WALL-CLOCK until the cluster is saturated.
+        edges = persist_tracked(edges)
+        deg = persist_tracked(edges.groupBy("src").agg(F.count("*").alias("d")))
+        dd = F.col("d").cast("decimal(19,0)")
+        m1 = deg.groupBy().agg(
+            F.sum(F.col("d").cast(big)).cast("long").alias("n"),
+            F.sum((dd * F.col("d")).cast(big)).cast("double").alias("sx"),
+            F.sum((dd * F.col("d")).cast(big)).cast("double").alias("sy"),
+            F.sum((dd * F.col("d") * F.col("d")).cast(big))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((dd * F.col("d") * F.col("d")).cast(big))
+            .cast("double")
+            .alias("syy"),
+        )
+        db = deg.select(F.col("src").alias("t"), F.col("d").alias("y"))
+        per_src = (
+            edges.join(db, edges.dst == F.col("t"))
+            .groupBy("src")
+            .agg(F.sum(F.col("y").cast(big)).alias("sy_u"))
+        )
+        sxy = (
+            per_src.join(deg, "src")
+            .groupBy()
+            .agg(
+                F.sum(
+                    (F.col("d").cast("decimal(19,0)") * F.col("sy_u")).cast(big)
+                )
+                .cast("double")
+                .alias("sxy")
+            )
+        )
+        m = m1.crossJoin(F.broadcast(sxy)).select(
+            "n", "sx", "sy", "sxy", "sxx", "syy"
+        )
+    else:
+        deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+        da = deg.select(F.col("src").alias("s"), F.col("d").alias("x"))
+        db = deg.select(F.col("src").alias("t"), F.col("d").alias("y"))
+        xy = (
+            edges.join(da, edges.src == da.s)
+            .join(db, edges.dst == db.t)
+            .select("x", "y")
+        )
+        m = xy.groupBy().agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("x").cast(big)).cast("double").alias("sx"),
+            F.sum(F.col("y").cast(big)).cast("double").alias("sy"),
+            F.sum((F.col("x").cast("decimal(19,0)") * F.col("y")).cast(big))
+            .cast("double")
+            .alias("sxy"),
+            F.sum((F.col("x").cast("decimal(19,0)") * F.col("x")).cast(big))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((F.col("y").cast("decimal(19,0)") * F.col("y")).cast(big))
+            .cast("double")
+            .alias("syy"),
+        )
     nd = F.col("n").cast("double")
     num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
