@@ -96,9 +96,9 @@ def main() -> int:
         "win_ntile_dense": 0.886,
         "sim_pairwise_labels": 1.485,
         "sort_multi": 1.524,
-        # re-frozen in Addendum 14 (r13 optimization round, cache-isolation
-        # protocol change) — the canary still exercises last-wins parsing
-        "dedup_simhash": 3.177,
+        # re-frozen in Addendum 15 (r14, driver-settled values) — the
+        # canary still exercises last-wins parsing across THREE freezes
+        "dedup_simhash": 1.4,
     }
     bad = {k: (frozen.get(k), v) for k, v in expect.items() if frozen.get(k) != v}
     if bad:
